@@ -1,0 +1,94 @@
+"""Tokenizer kernel — the engine's single text-analysis spec.
+
+Reference semantics (cited into /root/reference):
+  * token charset: maximal runs of unicode letter/digit plus ' - /
+    (lexer.go:7-9 ``tokenMember``; consumed by cacm.go:106-121)
+  * index-time filter: drop token if len < 3 or in the stopword set
+    (cacm.go:125-131,141-144)
+  * stem with Porter2 iff len > 3, NO lowercasing anywhere
+    (document.go:61-64)
+  * raw token count per doc counts every charset token pre-filter
+    (document.go:83-85) — Heaps-law input.
+
+Query-side variants (the reference is deliberately asymmetric, see
+SURVEY.md §7):
+  * vector queries: split keeps only letters+digits
+    (vector_query.go:14-16), stopwords filtered on the RAW unstemmed
+    word (vector_query.go:60-62), then stem len>3.
+  * boolean queries: same splitter, NO stopword filter
+    (bool_query.go:52-58,180).
+
+Everything here is plain Python on strings so the Spark pandas_udf
+wrappers (functions/kernels.py), the pure-Python oracle, and the
+golden-token fixtures share one implementation.  The Spark-side hot
+path vectorizes over Arrow batches; per-token work is memoized via the
+stemmer's lru_cache (Zipf vocabularies make the hit rate ~100%).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter2 import stem
+
+# Go unicode.IsLetter/IsDigit ≈ Python \w minus underscore (category
+# L* + Nd plus Python's extras); plus the reference's ' - / extras.
+TOKEN_RE = re.compile(r"(?:[^\W_]|['\-/])+")
+# Query splitter (T2): letters+digits only — narrower than TOKEN_RE.
+QUERY_TOKEN_RE = re.compile(r"[^\W_]+")
+
+MIN_TOKEN_LEN = 3          # index-time: keep len >= 3  (cacm.go:141)
+STEM_MIN_LEN = 4           # stem iff len > 3           (document.go:61)
+
+# Deterministic stopword list (CACM ships 429 common words,
+# main.go:34-45; we freeze a compact English function-word list —
+# the engine treats it as data, injectable per corpus).
+STOPWORDS = frozenset((
+    "the", "of", "and", "a", "to", "in", "is", "you", "that", "it",
+    "he", "was", "for", "on", "are", "as", "with", "his", "they",
+    "at", "be", "this", "have", "from", "or", "one", "had", "by",
+    "word", "but", "not", "what", "all", "were", "we", "when",
+    "your", "can", "said", "there", "use", "an", "each", "which",
+    "she", "do", "how", "their", "if", "will", "up", "other",
+    "about", "out", "many", "then", "them", "these", "so", "some",
+    "her", "would", "make", "like", "him", "into", "time", "has",
+    "look", "two", "more", "write", "go", "see", "number", "no",
+    "way", "could", "people", "my", "than", "first", "been", "who",
+    "its", "now", "find", "long", "down", "day", "did", "get",
+    "come", "made", "may", "part",
+))
+
+
+def raw_tokens(text: str) -> list[str]:
+    """Charset tokens, pre-filter (T1). Heaps-law counts use len()."""
+    return TOKEN_RE.findall(text)
+
+
+def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS) -> list[str]:
+    """Index-time pipeline: T1 charset → T4 len/stopword filter → T5 stem."""
+    out = []
+    for tok in TOKEN_RE.findall(text):
+        if len(tok) < MIN_TOKEN_LEN or tok in stopwords:
+            continue
+        out.append(stem(tok) if len(tok) >= STEM_MIN_LEN else tok)
+    return out
+
+
+def vector_query_terms(
+    query: str, stopwords: frozenset[str] = STOPWORDS
+) -> list[str]:
+    """Vector-query pipeline (Q7 front half): T2 split → stopword on
+    raw word → stem len>3.  Duplicates kept (they score twice,
+    vector_query.go:33-35)."""
+    out = []
+    for tok in QUERY_TOKEN_RE.findall(query):
+        if tok in stopwords:
+            continue
+        out.append(stem(tok) if len(tok) >= STEM_MIN_LEN else tok)
+    return out
+
+
+def bool_query_term(word: str) -> str:
+    """Boolean-query term normalization: stem len>3, no stopwording
+    (bool_query.go:52-58)."""
+    return stem(word) if len(word) >= STEM_MIN_LEN else word

@@ -1,0 +1,411 @@
+"""Distributed inverted-index build (SURVEY.md §3.1 Spark lifecycle).
+
+Reference dataflow (Go, single machine, in-RAM trie): scan → tokenize
+→ filter → stem → per-doc count → trie insert w/ tf weights → global
+IDF scale → serialize (main.go:30-47, lexer.go:39-97, trie.go:46-198,
+encoder.go:23-42).  Our job re-expresses it as three resumable Spark
+stages over the ``web_pages`` input table:
+
+stage 0  **stage**     assign deterministic docIDs (url order), split
+                       into ``n_chunks`` doc partitions, snapshot as
+                       parquet partitioned by ``chunk``.
+stage 1  **chunk c**   (one per chunk, independently resumable)
+                       tokenize+count via one Arrow kernel (no
+                       explode/groupBy shuffle for per-doc counts —
+                       docs never span partitions, so A1/A2/A3 are
+                       map-side), then shuffle by ``term`` once and
+                       pack *segment* posting blocks (delta+varint
+                       docIDs, tf, dl, max_tf).  Writes
+                       ``segments/chunk=c`` + ``docs/chunk=c``.
+stage 2  **finalize**  global df/idf/avgdl (small aggregations),
+                       rewrite segment blocks into *final* blocks
+                       with the four precomputed weights + block-max
+                       metadata, write ``postings`` partitioned by
+                       ``bucket(term)`` + ``corpus_stats``.
+
+Skew: a df≈N hot term never concentrates — its postings are split
+across chunks by construction (salt = chunk id), and the final index
+keeps one row per (term, chunk), so no reducer ever sees a whole hot
+posting list.  This is the salted-key two-phase aggregation the north
+rule mandates; ``n_chunks`` is the salt fan-out knob.
+
+Scale notes: at 10^12 docs the same plan holds — stage 0 is the only
+global pass (two-phase zipWithIndex numbering, no single-partition
+sort); each chunk shuffles only its own doc range by term; finalize's
+df aggregation is |vocab|-sized, and its block rewrite is
+embarrassingly parallel (mapInPandas over (term, chunk) rows whose
+size is bounded by the chunk size).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from ..functions import codec, scoring
+from ..functions.tokenizer import STOPWORDS, TOKEN_RE, index_tokens
+from ..plans.checkpoints import (
+    read_manifest, stage_complete, write_manifest,
+)
+from ..sources.web_pages import assign_doc_ids
+
+BLOCK_TYPE = StructType([
+    StructField("first_doc_id", LongType(), False),
+    StructField("n", IntegerType(), False),
+    StructField("max_w_raw", DoubleType(), False),
+    StructField("max_w_norm", DoubleType(), False),
+    StructField("max_w_half", DoubleType(), False),
+    StructField("max_bm25", DoubleType(), False),
+    StructField("data", BinaryType(), False),
+])
+
+TERM_ROWS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("term", StringType(), False),
+    StructField("tf", LongType(), False),
+    StructField("dl", LongType(), False),
+    StructField("max_tf", LongType(), False),
+    StructField("n_raw", LongType(), False),
+])
+
+SEGMENT_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("chunk", IntegerType(), False),
+    StructField("df_part", LongType(), False),
+    StructField("blocks", ArrayType(BLOCK_TYPE), False),
+])
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType(), False),
+    StructField("salt", IntegerType(), False),
+    StructField("df", LongType(), False),
+    StructField("idf", DoubleType(), False),
+    StructField("bm25_idf", DoubleType(), False),
+    StructField("blocks", ArrayType(BLOCK_TYPE), False),
+])
+
+
+@dataclass
+class IndexPaths:
+    out_dir: str
+
+    @property
+    def staged(self) -> str: return os.path.join(self.out_dir, "staged")
+    @property
+    def docs(self) -> str: return os.path.join(self.out_dir, "docs")
+    @property
+    def segments(self) -> str: return os.path.join(self.out_dir, "segments")
+    @property
+    def postings(self) -> str: return os.path.join(self.out_dir, "postings")
+    @property
+    def corpus_stats(self) -> str:
+        return os.path.join(self.out_dir, "corpus_stats")
+
+
+@dataclass
+class BuildResult:
+    paths: IndexPaths
+    n_docs: int
+    wall_secs: float
+    docs_per_sec: float
+    stage_secs: dict = field(default_factory=dict)
+    resumed_stages: list = field(default_factory=list)
+
+
+def _tokenize_counts_kernel(stopwords: frozenset[str], block_rows: int = 4096):
+    """mapInPandas kernel: (doc_id, text) → per-(doc, term) tf rows
+    plus one stats sentinel row per doc (term='')."""
+
+    def fn(batches):
+        import pandas as pd
+        from collections import Counter
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "term", "tf", "dl", "max_tf", "n_raw")}
+            for doc_id, text in zip(pdf["doc_id"].tolist(),
+                                    pdf["text"].tolist()):
+                raw = TOKEN_RE.findall(text or "")
+                counts = Counter(index_tokens_from_raw(raw, stopwords))
+                dl = sum(counts.values())
+                max_tf = max(counts.values()) if counts else 0
+                out["doc_id"].append(doc_id)
+                out["term"].append("")
+                out["tf"].append(0)
+                out["dl"].append(dl)
+                out["max_tf"].append(max_tf)
+                out["n_raw"].append(len(raw))
+                for term, tf in counts.items():
+                    out["doc_id"].append(doc_id)
+                    out["term"].append(term)
+                    out["tf"].append(tf)
+                    out["dl"].append(dl)
+                    out["max_tf"].append(max_tf)
+                    out["n_raw"].append(len(raw))
+                if len(out["doc_id"]) >= block_rows:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in out}
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def index_tokens_from_raw(raw: list[str], stopwords: frozenset[str]
+                          ) -> list[str]:
+    from ..functions.porter2 import stem
+    out = []
+    for tok in raw:
+        if len(tok) < 3 or tok in stopwords:
+            continue
+        out.append(stem(tok) if len(tok) >= 4 else tok)
+    return out
+
+
+def _pack_segments_kernel(chunk_id: int, block_size: int):
+    """applyInPandas kernel: one term's (doc_id, tf, dl, max_tf) rows
+    within a chunk → one segment row with packed blocks."""
+
+    def fn(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("doc_id")
+        blocks = codec.pack_segment_postings(
+            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(), pdf["max_tf"].to_numpy(),
+            block_size=block_size)
+        return pd.DataFrame({
+            "term": [pdf["term"].iloc[0]],
+            "chunk": [chunk_id],
+            "df_part": [len(pdf)],
+            "blocks": [blocks],
+        })
+
+    return fn
+
+
+def _finalize_kernel(n_docs: int, avgdl: float, block_size: int,
+                     k1: float, b: float):
+    """mapInPandas kernel: segment rows (+ global df) → final rows."""
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("term", "salt", "df", "idf", "bm25_idf", "blocks")}
+            for term, chunk, blocks, df in zip(
+                    pdf["term"], pdf["chunk"], pdf["blocks"], pdf["df"]):
+                idf_v = float(scoring.idf(n_docs, df))
+                bidf_v = float(scoring.bm25_idf(n_docs, df))
+                ids_l, tfs_l, dls_l, mtfs_l = [], [], [], []
+                for blk in blocks:
+                    i, t, d, m = codec.unpack_segment_block(
+                        bytes(blk["data"]), int(blk["n"]))
+                    ids_l.append(i); tfs_l.append(t)
+                    dls_l.append(d); mtfs_l.append(m)
+                ids = np.concatenate(ids_l)
+                tfs = np.concatenate(tfs_l)
+                dls = np.concatenate(dls_l)
+                mtfs = np.concatenate(mtfs_l)
+                w = scoring.posting_weights(
+                    tfs, dls, mtfs, idf_v, bidf_v, avgdl, k1, b)
+                rows["term"].append(term)
+                rows["salt"].append(int(chunk))
+                rows["df"].append(int(df))
+                rows["idf"].append(idf_v)
+                rows["bm25_idf"].append(bidf_v)
+                rows["blocks"].append(codec.pack_final_postings(
+                    ids, tfs, w, block_size=block_size))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def term_bucket(col, n_buckets: int):
+    """Bucket assignment for postings partition pruning — must be a
+    Spark-side expression so query-time lookups compute the same."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    *,
+    n_chunks: int = 4,
+    n_buckets: int = 16,
+    block_size: int = codec.DEFAULT_BLOCK,
+    stopwords: frozenset[str] = STOPWORDS,
+    k1: float = scoring.K1,
+    b: float = scoring.B,
+    resume: bool = False,
+    fail_after_chunk: int | None = None,
+) -> BuildResult:
+    """Run the full build.  With ``resume=True``, stages whose
+    manifest is present (and input fingerprint unchanged) are
+    skipped.  ``fail_after_chunk`` injects a crash for the resume
+    test (SURVEY.md §5.6)."""
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    stage_secs: dict[str, float] = {}
+    resumed: list[str] = []
+
+    # ---- stage 0: deterministic ids + chunk snapshot -----------------
+    fp_row = pages.agg(
+        F.count("*").alias("c"),
+        F.expr("bit_xor(xxhash64(url))").alias("h")).collect()[0]
+    fingerprint = {"n_rows": fp_row["c"],
+                   "url_hash_xor": str(fp_row["h"])}
+    if resume and stage_complete(out_dir, "stage0", fingerprint):
+        resumed.append("stage0")
+        n_docs = read_manifest(out_dir, "stage0")["n_docs"]
+    else:
+        ts = time.time()
+        staged = assign_doc_ids(pages).withColumn(
+            "chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int")
+        ).select("doc_id", "chunk", "url", "text", "lang")
+        staged.write.partitionBy("chunk").mode("overwrite").parquet(
+            paths.staged)
+        n_docs = spark.read.parquet(paths.staged).count()
+        stage_secs["stage0"] = time.time() - ts
+        write_manifest(out_dir, "stage0", {
+            "fingerprint": fingerprint, "n_docs": n_docs,
+            "n_chunks": n_chunks, "output": paths.staged,
+            "wall_secs": stage_secs["stage0"],
+            "lineage": {"stage": "stage0", "input": "web_pages",
+                        "op": "assign_doc_ids+chunk"},
+        })
+
+    # ---- stage 1: per-chunk tokenize → segment blocks ----------------
+    # Downstream manifests embed the stage-0 input fingerprint, so a
+    # re-staged (changed) input invalidates every chunk + finalize.
+    for c in range(n_chunks):
+        name = f"chunk-{c:04d}"
+        if resume and stage_complete(out_dir, name, fingerprint):
+            resumed.append(name)
+            continue
+        ts = time.time()
+        staged_c = spark.read.parquet(paths.staged).where(
+            F.col("chunk") == c)
+        term_rows = staged_c.select("doc_id", "text").mapInPandas(
+            _tokenize_counts_kernel(stopwords), schema=TERM_ROWS_SCHEMA)
+        term_rows.persist()
+        try:
+            docs_c = (
+                term_rows.where(F.col("term") == "")
+                .select("doc_id", "dl", "max_tf", "n_raw")
+                .join(staged_c.select("doc_id", "url", "lang"), "doc_id")
+            )
+            docs_c.write.mode("overwrite").parquet(
+                os.path.join(paths.docs, f"chunk={c}"))
+            segments_c = (
+                term_rows.where(F.col("term") != "")
+                .groupBy("term")
+                .applyInPandas(_pack_segments_kernel(c, block_size),
+                               schema=SEGMENT_SCHEMA)
+            )
+            segments_c.write.mode("overwrite").parquet(
+                os.path.join(paths.segments, f"chunk={c}"))
+            n_docs_c = docs_c.count()
+        finally:
+            term_rows.unpersist()
+        wall = time.time() - ts
+        write_manifest(out_dir, name, {
+            "fingerprint": fingerprint,
+            "chunk": c, "n_docs": n_docs_c, "wall_secs": wall,
+            "docs_per_sec": n_docs_c / wall if wall > 0 else None,
+            "outputs": [os.path.join(paths.segments, f"chunk={c}"),
+                        os.path.join(paths.docs, f"chunk={c}")],
+            "lineage": {"stage": "chunk", "chunk": c,
+                        "input": paths.staged,
+                        "op": "tokenize+count+segment-pack",
+                        "block_size": block_size},
+        })
+        if fail_after_chunk is not None and c == fail_after_chunk:
+            raise RuntimeError(f"injected failure after {name}")
+
+    # ---- stage 2: finalize ------------------------------------------
+    if resume and stage_complete(out_dir, "finalize", fingerprint):
+        resumed.append("finalize")
+        m = read_manifest(out_dir, "finalize")
+        wall_total = time.time() - t0
+        return BuildResult(paths, m["n_docs"], wall_total,
+                           m["docs_per_sec"], stage_secs, resumed)
+    ts = time.time()
+    docs_all = spark.read.option("basePath", paths.docs).parquet(
+        *[os.path.join(paths.docs, f"chunk={c}") for c in range(n_chunks)])
+    stats_row = docs_all.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_raw").alias("n_raw_tokens"),
+        F.sum("dl").alias("sum_dl"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    n_docs = stats_row["n_docs"]
+    avgdl = float(stats_row["avgdl"])
+
+    segments = spark.read.option("basePath", paths.segments).parquet(
+        *[os.path.join(paths.segments, f"chunk={c}")
+          for c in range(n_chunks)])
+    df_table = segments.groupBy("term").agg(
+        F.sum("df_part").alias("df"),
+        F.min(F.element_at("blocks", 1)["first_doc_id"])
+         .alias("min_doc_id"),
+    )
+    df_table.persist()
+    vocab = df_table.count()
+
+    joined = segments.join(df_table.select("term", "df"), "term")
+    final_rows = joined.mapInPandas(
+        _finalize_kernel(n_docs, avgdl, block_size, k1, b),
+        schema=POSTINGS_SCHEMA)
+    (final_rows
+     .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(paths.postings))
+
+    # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
+    # the full corpus and the doc_id ≤ N/2 prefix.
+    half = n_docs // 2
+    v_half = df_table.where(F.col("min_doc_id") <= half).count()
+    t_half = docs_all.where(F.col("doc_id") <= half).agg(
+        F.sum("n_raw")).collect()[0][0] or 0
+    t_total = int(stats_row["n_raw_tokens"] or 0)
+    heaps_b, heaps_k = float("nan"), float("nan")
+    if v_half and t_half and t_total and vocab and t_total != t_half:
+        heaps_b = math.log(vocab / v_half) / math.log(t_total / t_half)
+        heaps_k = vocab / (t_total ** heaps_b)
+    df_table.unpersist()
+
+    stats_df = spark.createDataFrame(
+        [(n_docs, t_total, int(stats_row["sum_dl"] or 0), avgdl, vocab,
+          heaps_b, heaps_k, n_chunks, n_buckets, block_size, k1, b)],
+        schema=("n_docs long, n_raw_tokens long, sum_dl long, "
+                "avgdl double, vocabulary long, heaps_b double, "
+                "heaps_k double, n_chunks int, n_buckets int, "
+                "block_size int, k1 double, b double"))
+    stats_df.coalesce(1).write.mode("overwrite").parquet(
+        paths.corpus_stats)
+
+    stage_secs["finalize"] = time.time() - ts
+    wall_total = time.time() - t0
+    dps = n_docs / wall_total if wall_total > 0 else None
+    write_manifest(out_dir, "finalize", {
+        "fingerprint": fingerprint,
+        "n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
+        "wall_secs": stage_secs["finalize"], "docs_per_sec": dps,
+        "outputs": [paths.postings, paths.corpus_stats],
+        "lineage": {"stage": "finalize", "inputs": [paths.segments,
+                                                    paths.docs],
+                    "op": "df+idf+weights+final-pack",
+                    "n_buckets": n_buckets},
+    })
+    return BuildResult(paths, n_docs, wall_total,
+                       n_docs / wall_total, stage_secs, resumed)

@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rechercheinfoweb-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build a session tuned for the index workload.
+
+    AQE is on (runtime coalescing + skew-join splitting), Arrow is on
+    (every custom kernel is a pandas UDF), and shuffle partitions
+    default to 2× cores — the same settings we would ship in
+    ``spark-submit --py-files`` conf on a real cluster.
+    """
+    cores = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = int(master[master.index("[") + 1:-1]) if "[" in master else 32
+        shuffle_partitions = max(8, 2 * n)
+    b = (
+        SparkSession.builder.appName(app_name).master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,187 @@
+"""web_pages sources.
+
+Input table shape is fixed by BASELINE.json ``input_hint``:
+
+    web_pages(url string, warc_ts timestamp, html binary,
+              text string, lang string)
+
+Two providers:
+
+1. :func:`synthetic_web_pages` — deterministic seeded generator
+   (FIXTURES.md §1): Zipf draws over a mixed-case vocabulary with
+   charset edge cases and a few df≈N hot terms to exercise skew
+   salting.  Used by unit tests, the eval harness, and the scaling
+   bench.  ``html`` wraps ``text`` so the per-row extraction
+   invariant (extracted text byte-identical per url) is assertable.
+
+2. :func:`documents_as_web_pages` — maps the driver's read-only
+   ``documents`` parquet (doc_id, text, lang, source, n_chars) to the
+   web_pages shape (FIXTURES.md §7) for the DuckDB-oracle contract.
+
+Doc IDs are NEVER assigned by arrival order (the reference's CS276
+ids are scheduling-dependent, trie.go:40-44 + cs276.go:20); the
+canonical id is ``row_number() over (order by url)`` — deterministic
+at any parallelism, which the two-cluster-size scaling check relies
+on.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+WEB_PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("html", BinaryType(), False),
+    StructField("text", StringType(), False),
+    StructField("lang", StringType(), False),
+])
+
+_EPOCH = _dt.datetime(2020, 1, 1, tzinfo=_dt.timezone.utc)
+
+# Mixed-case vocabulary with charset edge cases (apostrophes, hyphens,
+# slashes, digits, sub-3-char words, stopwords) — FIXTURES.md §1.
+_BASE_VOCAB = [
+    "search", "engine", "index", "query", "document", "ranking",
+    "retrieval", "crawler", "parser", "token", "stemming", "boolean",
+    "vector", "precision", "recall", "corpus", "postings", "weight",
+    "frequency", "inverse", "merge", "intersect", "union", "filter",
+    "Spark", "Catalyst", "shuffle", "partition", "broadcast", "salting",
+    "don't", "o'clock", "state-of-the-art", "tcp/ip", "utf-8", "html5",
+    "web2", "x86-64", "re-index", "co-occurrence", "I/O", "B-tree",
+    "ab", "xy", "of", "the", "and", "to", "in", "it",  # short/stop
+    "Zipf", "Heaps", "BM25", "WAND", "varint", "delta", "snappy",
+    "running", "runner", "runs", "generously", "generation", "relational",
+    "nations", "national", "happily", "happiness", "flies", "skies",
+    "connection", "connected", "connecting", "connections",
+]
+_HOT_TERMS = ["webpage", "content", "information"]  # df ≈ N (skew)
+
+
+def _vocab_and_probs(vocab_size: int = 2000) -> tuple[list[str], np.ndarray]:
+    vocab = list(_BASE_VOCAB)
+    i = 0
+    while len(vocab) < vocab_size:
+        vocab.append(f"term{i:04d}")
+        i += 1
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    return vocab, probs
+
+
+def generate_rows(n_docs: int, seed: int = 42) -> list[tuple]:
+    """Driver-side deterministic generation (small scales only)."""
+    vocab, probs = _vocab_and_probs()
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        length = int(rng.integers(20, 500))
+        words = list(rng.choice(vocab, size=length, p=probs))
+        # hot terms with df ≈ N
+        for h in _HOT_TERMS:
+            words.insert(int(rng.integers(0, len(words) + 1)), h)
+        text = " ".join(words)
+        url = f"https://host{i % 97}.example/p/{i:08d}"
+        rows.append((
+            url,
+            _EPOCH + _dt.timedelta(seconds=i),
+            b"<html><body>" + text.encode() + b"</body></html>",
+            text,
+            ["en", "de", "es", "fr", "zh"][i % 5],
+        ))
+    return rows
+
+
+def synthetic_web_pages(spark: SparkSession, n_docs: int,
+                        seed: int = 42, partitions: int | None = None
+                        ) -> DataFrame:
+    """Deterministic synthetic corpus as a DataFrame.
+
+    Generation is distributed for large *n_docs*: each Spark task
+    generates its own id range with a range-derived seed, so the
+    result is independent of parallelism (required for the
+    local[8]-vs-local[32] scaling-efficiency evidence).
+    """
+    parts = partitions or max(2, n_docs // 2000)
+    rng_ids = spark.range(0, n_docs, numPartitions=parts)
+
+    def gen(batches):
+        import pandas as pd
+        vocab, probs = _vocab_and_probs()
+        vocab_arr = np.array(vocab, dtype=object)
+        for pdf in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [],
+                   "lang": []}
+            for i in pdf["id"].tolist():
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                length = int(rng.integers(20, 500))
+                words = list(vocab_arr[rng.choice(
+                    len(vocab_arr), size=length, p=probs)])
+                for h in _HOT_TERMS:
+                    words.insert(int(rng.integers(0, len(words) + 1)), h)
+                text = " ".join(words)
+                out["url"].append(f"https://host{i % 97}.example/p/{i:08d}")
+                out["warc_ts"].append(_EPOCH + _dt.timedelta(seconds=int(i)))
+                out["html"].append(
+                    b"<html><body>" + text.encode() + b"</body></html>")
+                out["text"].append(text)
+                out["lang"].append(["en", "de", "es", "fr", "zh"][i % 5])
+            yield pd.DataFrame(out)
+
+    return rng_ids.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
+
+
+def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table to the web_pages shape
+    (FIXTURES.md §7: url = source || '/' || doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.lit(_EPOCH).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None
+                   ) -> DataFrame:
+    """Canonical deterministic docID: dense 1..N by url order.
+
+    Scale note: a bare ``row_number() over (order by url)`` collapses
+    10^12 rows onto one partition.  Instead: range-partition by url,
+    rank within each partition, then add per-partition offsets
+    computed from a tiny driver-side count array — identical result,
+    fully parallel (the classic zipWithIndex two-phase numbering,
+    expressed in DataFrame ops).
+    """
+    spark = pages.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    sdf = (
+        pages.repartitionByRange(parts, "url")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local", F.row_number().over(
+            Window.partitionBy("_pid").orderBy("url")))
+    )
+    counts = {r["_pid"]: r["c"] for r in
+              sdf.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(*[
+        F.lit(x) for kv in offsets.items() for x in kv
+    ]) if offsets else F.create_map()
+    return sdf.withColumn(
+        "doc_id", (offmap[F.col("_pid")] + F.col("_local")).cast("long")
+    ).drop("_pid", "_local")
