@@ -346,10 +346,10 @@ def build_index(
         F.count("*").alias("n_docs"),
         F.sum("n_raw").alias("n_raw_tokens"),
         F.sum("dl").alias("sum_dl"),
-        F.avg("dl").alias("avgdl"),
     ).collect()[0]
     n_docs = stats_row["n_docs"]
-    avgdl = float(stats_row["avgdl"])
+    # exact-integer division pins avgdl bit-identically vs the oracle
+    avgdl = stats_row["sum_dl"] / n_docs if n_docs else 0.0
 
     segments = spark.read.option("basePath", paths.segments).parquet(
         *[os.path.join(paths.segments, f"chunk={c}")

@@ -1,0 +1,87 @@
+"""Index-build integration tests: df/stats vs oracle, resume
+semantics (SURVEY.md §5.6), determinism across parallelism."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rechercheinfoweb_spark.operators.index_build import build_index
+
+
+def _postings_fingerprint(spark, out_dir: str):
+    rows = (spark.read.parquet(f"{out_dir}/postings")
+            .select("term", "salt", "df", "idf", "bm25_idf", "blocks")
+            .orderBy("term", "salt").collect())
+    return hash(str(rows))
+
+
+def test_df_and_stats_match_oracle(spark, reader, oracle_index):
+    postings = spark.read.parquet(reader.paths.postings)
+    got_df = {r["term"]: r["df"] for r in
+              postings.groupBy("term").agg(
+                  F.sum(F.expr("aggregate(blocks, 0L, (a, x) -> a + x.n)"))
+                  .alias("df")).collect()}
+    exp_df = {t: len(pl) for t, pl in oracle_index.postings.items()}
+    assert got_df == exp_df
+    # the stored per-row df column agrees with the recount
+    stored = {r["term"]: r["df"] for r in
+              postings.select("term", "df").distinct().collect()}
+    assert stored == exp_df
+
+    stats = spark.read.parquet(reader.paths.corpus_stats).collect()[0]
+    assert stats["n_docs"] == oracle_index.n_docs
+    assert stats["vocabulary"] == len(oracle_index.postings)
+    assert stats["n_raw_tokens"] == oracle_index.n_raw_tokens
+    assert stats["sum_dl"] == oracle_index.sum_dl
+    assert stats["avgdl"] == oracle_index.avgdl
+
+
+def test_doc_ids_deterministic_by_url(spark, reader, oracle_index):
+    docs = {r["doc_id"]: r["url"] for r in reader.docs().collect()}
+    assert docs == oracle_index.doc_url
+
+
+def test_resume_skips_completed(spark, pages_df, tmp_path):
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df, out, n_chunks=2, n_buckets=4)
+    res = build_index(spark, pages_df, out, n_chunks=2, n_buckets=4,
+                      resume=True)
+    assert set(res.resumed_stages) == {
+        "stage0", "chunk-0000", "chunk-0001", "finalize"}
+
+
+def test_crash_resume_identical(spark, pages_df, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(spark, pages_df, a, n_chunks=2, n_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, pages_df, b, n_chunks=2, n_buckets=4,
+                    fail_after_chunk=0)
+    res = build_index(spark, pages_df, b, n_chunks=2, n_buckets=4,
+                      resume=True)
+    assert "chunk-0000" in res.resumed_stages
+    assert "chunk-0001" not in res.resumed_stages
+    assert _postings_fingerprint(spark, a) == _postings_fingerprint(spark, b)
+
+
+def test_changed_input_invalidates(spark, pages_df, tmp_path):
+    from rechercheinfoweb_spark.sources.web_pages import \
+        synthetic_web_pages
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df, out, n_chunks=2, n_buckets=4)
+    other = synthetic_web_pages(spark, 37)
+    res = build_index(spark, other, out, n_chunks=2, n_buckets=4,
+                      resume=True)
+    assert res.resumed_stages == []
+    assert res.n_docs == 37
+
+
+def test_parallelism_invariance(spark, pages_df, tmp_path, reader):
+    """Same input at different shuffle parallelism → identical index
+    (the property the N-vs-4N scaling evidence relies on)."""
+    out = str(tmp_path / "idx8")
+    repartitioned = pages_df.repartition(16)
+    build_index(spark, repartitioned, out, n_chunks=2, n_buckets=8)
+    assert (_postings_fingerprint(spark, out)
+            == _postings_fingerprint(spark, reader.paths.out_dir))
