@@ -1,38 +1,538 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: a full inverted-index
+build over the sf0.001 ``documents`` table (mapped to the
+``web_pages`` input shape) followed by a BM25 top-k query with
+block-max pruning.
+
+``queries()``/``oracle_sql()`` pair every SQL-expressible operator
+from SURVEY.md §2 (term counts A1/A2, df/idf A4, boolean set ops
+Q3-Q5, ranked scoring Q7-Q9, BM25, corpus stats A7, doc-id
+assignment A6) plus the training-data-pipeline operators (dedup
+exact/minhash-LSH/n-gram-Jaccard, ANN cosine, language ID, quality,
+fingerprints, event rollups/sessionization) with ANSI-SQL DuckDB
+oracles.  SQL-parity queries use the SQL-portable tokenizer (split
+on non-alphanumeric) — the engine's stemmed tokenizer cannot run in
+DuckDB; the stemmed path is oracle-checked in pytest instead
+(tests/test_query_vector.py, rank-identical vs oracle/pyoracle.py).
+Non-SQL-expressible ops (simhash bit voting, hyperplane LSH, the
+full engine index) are registered without an oracle → rows-only.
+
+Column-name discipline: every computed column is aliased
+identically in the Spark plan and the SQL text; floats that cross
+the engine boundary are rounded (ln/libm last-ulp differences).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from rechercheinfoweb_spark.operators import dedup, similarity, textstats
+from rechercheinfoweb_spark.operators.textstats import (
+    LANG_MARKERS, SQL_TOKEN_SPLIT,
+)
+
+K1, B = 1.2, 0.75
+QUERY_TERMS = ("data", "query", "stream")  # fixed ranked-query terms
+AND_TERMS = ("data", "query")
+PAIR_DOC_LIMIT = 300  # bound pairwise ops in the sf0.01 contract run
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _term_rows(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(textstats.tokens_col()).alias("term"))
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    return (_term_rows(docs).groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+_SQL_TOKS = (
+    "SELECT doc_id, unnest(string_split_regex(text, "
+    f"'{SQL_TOKEN_SPLIT}')) AS term FROM documents"
+)
+_SQL_TOKS_NE = f"SELECT * FROM ({_SQL_TOKS}) WHERE term <> ''"
+_SQL_TF = (f"SELECT doc_id, term, count(*) AS tf FROM ({_SQL_TOKS_NE}) "
+           "GROUP BY doc_id, term")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents
+    (web_pages shape), then BM25 top-20 with block-max pruning."""
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.operators.query_vector import vector_topk
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = os.path.join(tempfile.gettempdir(), "riw_entry_index")
+    pages = documents_as_web_pages(spark, sf_dir)
+    build_index(spark, pages, out, n_chunks=2, n_buckets=8, resume=True)
+    return vector_topk(spark, out, "data query stream", scheme="bm25",
+                       k=20, with_urls=True)
+
+
+# ------------------------------------------------------------- queries
+
+def _q_term_doc_tf(spark, sf_dir):
+    return _tf(_docs(spark, sf_dir)).orderBy("doc_id", "term")
+
+
+def _q_doc_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_df_idf(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return (_tf(docs).groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .select("term", "df",
+                    F.round(F.log(F.lit(float(n)) / F.col("df")), 6)
+                     .alias("idf")))
+
+
+def _q_top_terms(spark, sf_dir):
+    return (_term_rows(_docs(spark, sf_dir))
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(50))
+
+
+def _q_bool_and(spark, sf_dir):
+    tf = _tf(_docs(spark, sf_dir))
+    a = tf.where(F.col("term") == AND_TERMS[0]).select("doc_id")
+    b = tf.where(F.col("term") == AND_TERMS[1]).select("doc_id")
+    return a.join(b, "doc_id", "left_semi").orderBy("doc_id")
+
+
+def _q_bool_or(spark, sf_dir):
+    tf = _tf(_docs(spark, sf_dir))
+    a = tf.where(F.col("term") == AND_TERMS[0]).select("doc_id")
+    b = tf.where(F.col("term") == AND_TERMS[1]).select("doc_id")
+    return a.union(b).distinct().orderBy("doc_id")
+
+
+def _q_bool_and_not(spark, sf_dir):
+    tf = _tf(_docs(spark, sf_dir))
+    a = tf.where(F.col("term") == AND_TERMS[0]).select("doc_id")
+    b = tf.where(F.col("term") == AND_TERMS[1]).select("doc_id")
+    return a.join(b, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = _tf(docs)
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    hits = (tf.where(F.col("term").isin(*QUERY_TERMS))
+            .join(F.broadcast(dfs.where(F.col("term").isin(*QUERY_TERMS))),
+                  "term"))
+    score = F.round(F.sum(
+        F.log(F.lit(float(n)) / F.col("df"))
+        * (1.0 + F.log(F.col("tf")))), 6)
+    return (hits.groupBy("doc_id").agg(score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = _tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")) \
+              .select((F.col("s") / F.col("c")).alias("a")).collect()[0]["a"]
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    hits = (tf.where(F.col("term").isin(*QUERY_TERMS))
+            .join(F.broadcast(dfs.where(F.col("term").isin(*QUERY_TERMS))),
+                  "term")
+            .join(dl, "doc_id"))
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    w = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
+    return (hits.groupBy("doc_id")
+            .agg(F.round(F.sum(w), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = _term_rows(docs)
+    return spark.createDataFrame(
+        [(docs.count(), toks.select("term").distinct().count(),
+          toks.count())],
+        "n_docs long, vocabulary long, n_tokens long")
+
+
+def _q_doc_ids(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    url = F.concat_ws("/", "source", F.col("doc_id").cast("string"))
+    return (docs.select(F.col("doc_id").alias("orig_id"),
+                        url.alias("url"))
+            .withColumn("rn", F.row_number().over(Window.orderBy("url"))))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir)).drop("doc_ids")
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _pair_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).where(F.col("doc_id") < PAIR_DOC_LIMIT)
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_pair_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_pair_docs(spark, sf_dir),
+                                     threshold=0.15)
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_pair_docs(spark, sf_dir), radius=6)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.cosine_topk(emb, [float(x) for x in qv], k=20)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.lsh_ann_topk(emb, [float(x) for x in qv], k=20)
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("hour", "event_type"))
+
+
+def _q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ: hop via timestamp (session tz is
+    # pinned to UTC) to reach epoch seconds, matching DuckDB epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def _q_engine_bm25(spark, sf_dir):
+    """Full engine path (stemmed tokenizer, packed index, WAND) —
+    rows-only check (Porter2 is not expressible in SQL)."""
+    import hashlib
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.operators.query_vector import vector_topk
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"riw_ix_{key}")
+    pages = documents_as_web_pages(spark, sf_dir)
+    build_index(spark, pages, out, n_chunks=2, n_buckets=8, resume=True)
+    return vector_topk(spark, out, "data query stream", scheme="bm25",
+                       k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ft_term_doc_tf": _q_term_doc_tf,
+        "ft_doc_token_counts": _q_doc_token_counts,
+        "ft_df_idf": _q_df_idf,
+        "ft_top_terms": _q_top_terms,
+        "ft_bool_and": _q_bool_and,
+        "ft_bool_or": _q_bool_or,
+        "ft_bool_and_not": _q_bool_and_not,
+        "ft_tfidf_topk": _q_tfidf_topk,
+        "ft_bm25_topk": _q_bm25_topk,
+        "ft_corpus_stats": _q_corpus_stats,
+        "ft_doc_ids": _q_doc_ids,
+        "ts_lang_id": _q_lang_id,
+        "ts_quality": _q_quality,
+        "ts_fingerprint": _q_fingerprint,
+        "dd_exact": _q_dedup_exact,
+        "dd_minhash_sigs": _q_minhash_sigs,
+        "dd_lsh_pairs": _q_lsh_pairs,
+        "dd_jaccard_pairs": _q_jaccard_pairs,
+        "dd_simhash": _q_simhash,
+        "dd_simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ev_hourly": _q_events_hourly,
+        "ev_sessionize": _q_sessionize,
+        "ix_engine_bm25_topk": _q_engine_bm25,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    langs_hits = ",\n        ".join(
+        "sum(CASE WHEN lower(term) IN ({}) THEN 1 ELSE 0 END) AS hits_{}"
+        .format(", ".join(f"'{w}'" for w in ws), la)
+        for la, ws in LANG_MARKERS.items())
+    best = ("greatest(" + ", ".join(f"hits_{la}" for la in LANG_MARKERS)
+            + ")")
+    # lang_pred: greatest hits, ties by LANG_MARKERS declaration order
+    pred = (f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{la} = {best} THEN '{la}'" for la in LANG_MARKERS
+    ) + " ELSE 'und' END")
+    alnum = ("len(list_filter(string_split_regex(text, "
+             f"'{SQL_TOKEN_SPLIT}'), t -> t <> ''))")
+    mh = ",\n        ".join(
+        f"min(md5('{i}:' || term)) AS mh{i}" for i in range(dedup.MINHASH_K))
+    rpb = dedup.MINHASH_K // dedup.LSH_BANDS
+    band_exprs = ", ".join(
+        "md5({}) AS band{}".format(
+            " || '|' || ".join(f"mh{b * rpb + j}" for j in range(rpb)), b)
+        for b in range(dedup.LSH_BANDS))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM bands"
+        for b in range(dedup.LSH_BANDS))
+
+    return {
+        "ft_term_doc_tf": _SQL_TF,
+        "ft_doc_token_counts": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   {alnum} AS alnum_tokens,
+                   length(text) AS n_chars
+            FROM documents""",
+        "ft_df_idf": f"""
+            WITH tf AS ({_SQL_TF}),
+                 n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, count(*) AS df,
+                   round(ln(n.n_docs / count(*)), 6) AS idf
+            FROM tf, n GROUP BY term, n.n_docs""",
+        "ft_top_terms": f"""
+            SELECT term, count(*) AS cnt FROM ({_SQL_TOKS_NE})
+            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 50""",
+        "ft_bool_and": f"""
+            WITH tf AS ({_SQL_TF})
+            SELECT doc_id FROM tf WHERE term = '{AND_TERMS[0]}'
+            INTERSECT SELECT doc_id FROM tf WHERE term = '{AND_TERMS[1]}'
+            ORDER BY doc_id""",
+        "ft_bool_or": f"""
+            WITH tf AS ({_SQL_TF})
+            SELECT doc_id FROM tf WHERE term = '{AND_TERMS[0]}'
+            UNION SELECT doc_id FROM tf WHERE term = '{AND_TERMS[1]}'
+            ORDER BY doc_id""",
+        "ft_bool_and_not": f"""
+            WITH tf AS ({_SQL_TF})
+            SELECT doc_id FROM tf WHERE term = '{AND_TERMS[0]}'
+            EXCEPT SELECT doc_id FROM tf WHERE term = '{AND_TERMS[1]}'
+            ORDER BY doc_id""",
+        "ft_tfidf_topk": f"""
+            WITH tf AS ({_SQL_TF}),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(ln(n.n_docs / dfs.df) * (1 + ln(tf.tf))), 6)
+                       AS score
+            FROM tf JOIN dfs USING (term), n
+            WHERE tf.term IN ('data','query','stream')
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "ft_bm25_topk": f"""
+            WITH tf AS ({_SQL_TF}),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+                 ad AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl FROM dls),
+                 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+                     * (tf.tf * ({K1} + 1))
+                     / (tf.tf + {K1} * (1 - {B} + {B} * dls.dl / ad.avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id), n, ad
+            WHERE tf.term IN ('data','query','stream')
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "ft_corpus_stats": f"""
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(DISTINCT term) FROM ({_SQL_TOKS_NE}))
+                       AS vocabulary,
+                   (SELECT count(*) FROM ({_SQL_TOKS_NE})) AS n_tokens""",
+        "ft_doc_ids": """
+            SELECT doc_id AS orig_id,
+                   source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(row_number() OVER (
+                        ORDER BY source || '/' || CAST(doc_id AS VARCHAR))
+                        AS INT) AS rn
+            FROM documents""",
+        "ts_lang_id": f"""
+            SELECT doc_id,
+                   {', '.join(f'hits_{la}' for la in LANG_MARKERS)},
+                   {pred} AS lang_pred
+            FROM (SELECT doc_id, {langs_hits}
+                  FROM ({_SQL_TOKS_NE}) GROUP BY doc_id)""",
+        "ts_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {alnum} AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         AS n_alpha,
+                     len(list_filter(string_split_regex(text,
+                         '{SQL_TOKEN_SPLIT}'),
+                         t -> lower(t) IN ({en}))) AS n_stop
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   round(n_alpha * 1.0 / greatest(n_chars, 1), 6)
+                       AS alpha_ratio,
+                   round(n_stop * 1.0 / greatest(n_tokens, 1), 6)
+                       AS stopword_ratio,
+                   round(n_alpha * 1.0 / greatest(n_tokens, 1), 6)
+                       AS avg_token_len,
+                   round(0.4 * round(n_alpha * 1.0 / greatest(n_chars, 1), 6)
+                       + 0.4 * round(n_stop * 1.0 / greatest(n_tokens, 1), 6)
+                       + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality
+            FROM t""",
+        "ts_fingerprint": f"""
+            SELECT doc_id, md5(text) AS exact_md5,
+                   md5(lower(array_to_string(list_filter(
+                       string_split_regex(text, '{SQL_TOKEN_SPLIT}'),
+                       t -> t <> ''), ' '))) AS norm_fingerprint
+            FROM documents""",
+        "dd_exact": """
+            SELECT md5(text) AS h, count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dd_minhash_sigs": f"""
+            SELECT doc_id, {mh}
+            FROM (SELECT DISTINCT doc_id, term FROM ({_SQL_TOKS_NE}))
+            GROUP BY doc_id""",
+        "dd_lsh_pairs": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, term FROM ({_SQL_TOKS_NE})
+              WHERE doc_id < {PAIR_DOC_LIMIT}),
+            sigs AS (SELECT doc_id, {mh} FROM toks GROUP BY doc_id),
+            bands AS (SELECT doc_id, {band_exprs} FROM sigs),
+            bb AS ({band_union})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bb a JOIN bb b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id""",
+        "dd_jaccard_pairs": f"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS shingle
+              FROM arrs, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+              WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh AS size_a, sb.n_sh AS size_b,
+                   round(inter * 1.0
+                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= 0.15""",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+                 qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS nq FROM q)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / (greatest(sqrt(list_dot_product(
+                              e.embedding::DOUBLE[],
+                              e.embedding::DOUBLE[])), 1e-12) * qn.nq), 6)
+                       AS cosine
+            FROM embeddings e, q, qn
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+        "ev_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+        "ev_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(epoch(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id""",
+    }

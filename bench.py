@@ -1,0 +1,128 @@
+"""Per-round benchmark: headline engine paths at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Headline paths: full inverted-index build (docs/sec is the
+north-star throughput metric, reported in extra), BM25/WAND top-k,
+boolean retrieval, minhash-LSH dedup, n-gram Jaccard, ANN cosine,
+quality scoring.  Run scripts/scaling_run.py for the N-vs-4N-cores
+scaling-efficiency evidence (results land in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from rechercheinfoweb_spark.operators import dedup, similarity, textstats
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.operators.query_bool import boolean_search
+    from rechercheinfoweb_spark.operators.query_vector import (
+        IndexReader, vector_topk,
+    )
+    from rechercheinfoweb_spark.session import get_spark
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="riw-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": int(cpus)}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.time(); return self
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t, 3)
+        return _T()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra["n_docs_table"] = docs.count()
+
+    # Headline build runs over the deterministic synthetic web_pages
+    # corpus (FIXTURES.md §1 bench scale) — the driver's documents
+    # table tops out at 5k rows, far too small to measure throughput.
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_corpus = max(2000, int(200_000 * sf))
+    from rechercheinfoweb_spark.sources.web_pages import (
+        synthetic_web_pages,
+    )
+    with timed("corpus_gen"):
+        pages = synthetic_web_pages(spark, n_corpus).persist()
+        pages.count()
+    extra["n_corpus_docs"] = n_corpus
+
+    out = "/tmp/riw_bench_index"
+    shutil.rmtree(out, ignore_errors=True)
+    # chunk count scales with corpus size: resume granularity should
+    # amortize orchestration, not dominate it
+    n_chunks = min(8, max(2, n_corpus // 5000))
+    extra["n_chunks"] = n_chunks
+    with timed("index_build"):
+        res = build_index(spark, pages, out, n_chunks=n_chunks,
+                          n_buckets=32)
+    pages.unpersist()
+    extra["build_docs_per_sec"] = round(res.n_docs / timings["index_build"], 1)
+
+    reader = IndexReader(spark, out)
+    with timed("bm25_wand_topk"):
+        for q in ("search engine ranking", "Spark shuffle partition",
+                  "varint delta BM25 WAND"):
+            vector_topk(spark, reader, q, "bm25", k=20,
+                        use_pruning=True).collect()
+    with timed("tfidf_topk"):
+        vector_topk(spark, reader, "search engine ranking", "norm",
+                    k=20).collect()
+    with timed("boolean"):
+        boolean_search(spark, reader, "search AND engine AND NOT ranking"
+                       ).collect()
+        boolean_search(spark, reader, "index OR postings merge").collect()
+
+    with timed("quality_score"):
+        textstats.quality_score(docs).agg(F.avg("quality")).collect()
+    with timed("minhash_sigs"):
+        dedup.minhash_signatures(docs).count()
+    pair_docs = docs.where(F.col("doc_id") < 500)
+    with timed("lsh_pairs"):
+        extra["lsh_pairs"] = dedup.minhash_lsh_pairs(pair_docs).count()
+    with timed("jaccard_pairs"):
+        extra["jaccard_pairs"] = dedup.ngram_jaccard_pairs(
+            pair_docs, threshold=0.15).count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with timed("ann_cosine"):
+        similarity.cosine_topk(emb, qv, k=20).collect()
+    with timed("ann_lsh"):
+        similarity.lsh_ann_topk(emb, qv, k=20).collect()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "riw_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

