@@ -70,11 +70,16 @@ BLOCK_TYPE = StructType([
 
 TERM_ROWS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
+    StructField("chunk", IntegerType(), False),
     StructField("term", StringType(), False),
     StructField("tf", LongType(), False),
     StructField("dl", LongType(), False),
     StructField("max_tf", LongType(), False),
     StructField("n_raw", LongType(), False),
+    # carried only on the per-doc sentinel row (term='') so the docs
+    # table needs no join back to the staged input
+    StructField("url", StringType(), True),
+    StructField("lang", StringType(), True),
 ])
 
 SEGMENT_SCHEMA = StructType([
@@ -109,6 +114,9 @@ class IndexPaths:
     @property
     def corpus_stats(self) -> str:
         return os.path.join(self.out_dir, "corpus_stats")
+    @property
+    def term_rows(self) -> str:
+        return os.path.join(self.out_dir, "term_rows")
 
 
 @dataclass
@@ -122,37 +130,48 @@ class BuildResult:
 
 
 def _tokenize_counts_kernel(stopwords: frozenset[str], block_rows: int = 4096):
-    """mapInPandas kernel: (doc_id, text) → per-(doc, term) tf rows
-    plus one stats sentinel row per doc (term='')."""
+    """mapInPandas kernel: (doc_id, chunk, url, lang, text) →
+    per-(doc, term) tf rows plus one stats sentinel row per doc
+    (term='', carrying url/lang)."""
+
+    cols = ("doc_id", "chunk", "term", "tf", "dl", "max_tf", "n_raw",
+            "url", "lang")
 
     def fn(batches):
         import pandas as pd
         from collections import Counter
         for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "term", "tf", "dl", "max_tf", "n_raw")}
-            for doc_id, text in zip(pdf["doc_id"].tolist(),
-                                    pdf["text"].tolist()):
+            out = {k: [] for k in cols}
+            for doc_id, chunk, url, lang, text in zip(
+                    pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
+                    pdf["url"].tolist(), pdf["lang"].tolist(),
+                    pdf["text"].tolist()):
                 raw = TOKEN_RE.findall(text or "")
                 counts = Counter(index_tokens_from_raw(raw, stopwords))
                 dl = sum(counts.values())
                 max_tf = max(counts.values()) if counts else 0
                 out["doc_id"].append(doc_id)
+                out["chunk"].append(chunk)
                 out["term"].append("")
                 out["tf"].append(0)
                 out["dl"].append(dl)
                 out["max_tf"].append(max_tf)
                 out["n_raw"].append(len(raw))
+                out["url"].append(url)
+                out["lang"].append(lang)
                 for term, tf in counts.items():
                     out["doc_id"].append(doc_id)
+                    out["chunk"].append(chunk)
                     out["term"].append(term)
                     out["tf"].append(tf)
                     out["dl"].append(dl)
                     out["max_tf"].append(max_tf)
                     out["n_raw"].append(len(raw))
+                    out["url"].append(None)
+                    out["lang"].append(None)
                 if len(out["doc_id"]) >= block_rows:
                     yield pd.DataFrame(out)
-                    out = {k: [] for k in out}
+                    out = {k: [] for k in cols}
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
@@ -170,9 +189,10 @@ def index_tokens_from_raw(raw: list[str], stopwords: frozenset[str]
     return out
 
 
-def _pack_segments_kernel(chunk_id: int, block_size: int):
-    """applyInPandas kernel: one term's (doc_id, tf, dl, max_tf) rows
-    within a chunk → one segment row with packed blocks."""
+def _pack_segments_kernel(block_size: int):
+    """applyInPandas kernel over a (chunk, term) group: that term's
+    (doc_id, tf, dl, max_tf) rows within the chunk → one segment row
+    with packed blocks."""
 
     def fn(pdf):
         import pandas as pd
@@ -183,7 +203,7 @@ def _pack_segments_kernel(chunk_id: int, block_size: int):
             block_size=block_size)
         return pd.DataFrame({
             "term": [pdf["term"].iloc[0]],
-            "chunk": [chunk_id],
+            "chunk": [int(pdf["chunk"].iloc[0])],
             "df_part": [len(pdf)],
             "blocks": [blocks],
         })
@@ -246,6 +266,7 @@ def build_index(
     k1: float = scoring.K1,
     b: float = scoring.B,
     resume: bool = False,
+    chunk_batch: int | None = None,
     fail_after_chunk: int | None = None,
 ) -> BuildResult:
     """Run the full build.  With ``resume=True``, stages whose
@@ -269,12 +290,14 @@ def build_index(
         n_docs = read_manifest(out_dir, "stage0")["n_docs"]
     else:
         ts = time.time()
-        staged = assign_doc_ids(pages).withColumn(
+        staged = assign_doc_ids(pages, n_rows=fp_row["c"]).withColumn(
             "chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int")
         ).select("doc_id", "chunk", "url", "text", "lang")
         staged.write.partitionBy("chunk").mode("overwrite").parquet(
             paths.staged)
-        n_docs = spark.read.parquet(paths.staged).count()
+        # row count is already pinned by the input fingerprint — no
+        # verification re-scan (assign_doc_ids is row-preserving)
+        n_docs = int(fp_row["c"])
         stage_secs["stage0"] = time.time() - ts
         write_manifest(out_dir, "stage0", {
             "fingerprint": fingerprint, "n_docs": n_docs,
@@ -284,56 +307,91 @@ def build_index(
                         "op": "assign_doc_ids+chunk"},
         })
 
-    # ---- stage 1: per-chunk tokenize → segment blocks ----------------
+    # ---- stage 1: tokenize → segment blocks, per-chunk resumable ----
     # Downstream manifests embed the stage-0 input fingerprint, so a
     # re-staged (changed) input invalidates every chunk + finalize.
+    #
+    # All missing chunks run in ONE Spark pipeline (chunk is a group
+    # key flowing through both kernels) — a sequential per-chunk loop
+    # re-pays scan/shuffle/commit fixed costs n_chunks times and
+    # starves wide clusters.  ``chunk_batch`` trades checkpoint
+    # granularity against that orchestration cost: 1 = finest resume
+    # (one job per chunk), None = all missing chunks in one job.
+    # Either way each completed chunk gets its own manifest with
+    # lineage + docs/sec, and resume skips completed chunks.
+    missing = []
     for c in range(n_chunks):
         name = f"chunk-{c:04d}"
         if resume and stage_complete(out_dir, name, fingerprint):
             resumed.append(name)
-            continue
+        else:
+            missing.append(c)
+    batch = 1 if fail_after_chunk is not None else (chunk_batch or
+                                                    len(missing) or 1)
+    staged_all = spark.read.parquet(paths.staged)
+    par = spark.sparkContext.defaultParallelism
+    for gi in range(0, len(missing), batch):
+        group = missing[gi:gi + batch]
         ts = time.time()
-        staged_c = spark.read.parquet(paths.staged).where(
-            F.col("chunk") == c)
-        term_rows = staged_c.select("doc_id", "text").mapInPandas(
-            _tokenize_counts_kernel(stopwords), schema=TERM_ROWS_SCHEMA)
-        term_rows.persist()
-        try:
-            docs_c = (
-                term_rows.where(F.col("term") == "")
-                .select("doc_id", "dl", "max_tf", "n_raw")
-                .join(staged_c.select("doc_id", "url", "lang"), "doc_id")
-            )
-            docs_c.write.mode("overwrite").parquet(
-                os.path.join(paths.docs, f"chunk={c}"))
-            segments_c = (
-                term_rows.where(F.col("term") != "")
-                .groupBy("term")
-                .applyInPandas(_pack_segments_kernel(c, block_size),
-                               schema=SEGMENT_SCHEMA)
-            )
-            segments_c.write.mode("overwrite").parquet(
-                os.path.join(paths.segments, f"chunk={c}"))
-            # count from the written file's parquet footer (metadata
-            # only) rather than re-running the join pipeline
+        staged_g = staged_all.where(F.col("chunk").isin(group))
+        # chunk parquet footprints are small relative to
+        # maxPartitionBytes, so the scan would yield few tasks and the
+        # tokenize kernel (the hottest op, SURVEY §6) would starve —
+        # spread it across every core first
+        # Materialize the tokenize output to parquet instead of
+        # .persist(): the cache outgrows storage memory on larger
+        # corpora, partitions get evicted, and the (hottest) tokenize
+        # kernel silently re-runs for the second consumer — observed
+        # as superlinear build time.  Disk materialization is
+        # bounded-memory, column-pruned/predicate-pushed on re-read,
+        # and survives executor loss on a real cluster.
+        tr_path = os.path.join(paths.term_rows, f"group={group[0]:04d}")
+        (staged_g
+         .select("doc_id", "chunk", "url", "lang", "text")
+         .repartition(par, "doc_id")
+         .mapInPandas(_tokenize_counts_kernel(stopwords),
+                      schema=TERM_ROWS_SCHEMA)
+         .write.mode("overwrite").parquet(tr_path))
+        term_rows = spark.read.parquet(tr_path)
+        docs_g = (term_rows.where(F.col("term") == "")
+                  .select("doc_id", "chunk", "url", "lang",
+                          "dl", "max_tf", "n_raw"))
+        (docs_g.write.partitionBy("chunk")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(paths.docs))
+        segments_g = (
+            term_rows.where(F.col("term") != "")
+            .select("doc_id", "chunk", "term", "tf", "dl", "max_tf")
+            .groupBy("chunk", "term")
+            .applyInPandas(_pack_segments_kernel(block_size),
+                           schema=SEGMENT_SCHEMA)
+        )
+        (segments_g.write.partitionBy("chunk")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(paths.segments))
+        wall = time.time() - ts
+        for c in group:
+            # count from the written files' parquet footers (metadata
+            # only), also validating the chunk dir exists
             n_docs_c = spark.read.parquet(
                 os.path.join(paths.docs, f"chunk={c}")).count()
-        finally:
-            term_rows.unpersist()
-        wall = time.time() - ts
-        write_manifest(out_dir, name, {
-            "fingerprint": fingerprint,
-            "chunk": c, "n_docs": n_docs_c, "wall_secs": wall,
-            "docs_per_sec": n_docs_c / wall if wall > 0 else None,
-            "outputs": [os.path.join(paths.segments, f"chunk={c}"),
-                        os.path.join(paths.docs, f"chunk={c}")],
-            "lineage": {"stage": "chunk", "chunk": c,
-                        "input": paths.staged,
-                        "op": "tokenize+count+segment-pack",
-                        "block_size": block_size},
-        })
-        if fail_after_chunk is not None and c == fail_after_chunk:
-            raise RuntimeError(f"injected failure after {name}")
+            write_manifest(out_dir, f"chunk-{c:04d}", {
+                "fingerprint": fingerprint,
+                "chunk": c, "n_docs": n_docs_c,
+                "wall_secs": wall / len(group),
+                "docs_per_sec": (n_docs_c * len(group) / wall
+                                 if wall > 0 else None),
+                "outputs": [os.path.join(paths.segments, f"chunk={c}"),
+                            os.path.join(paths.docs, f"chunk={c}")],
+                "lineage": {"stage": "chunk", "chunk": c,
+                            "input": paths.staged,
+                            "op": "tokenize+count+segment-pack",
+                            "block_size": block_size,
+                            "batched_with": group},
+            })
+        if fail_after_chunk is not None and group[-1] >= fail_after_chunk:
+            raise RuntimeError(
+                f"injected failure after chunk-{group[-1]:04d}")
 
     # ---- stage 2: finalize ------------------------------------------
     if resume and stage_complete(out_dir, "finalize", fingerprint):
@@ -343,14 +401,22 @@ def build_index(
         return BuildResult(paths, m["n_docs"], wall_total,
                            m["docs_per_sec"], stage_secs, resumed)
     ts = time.time()
+    # n_docs is already pinned by the stage-0 manifest, so the Heaps
+    # half-corpus boundary is known up front and every docs-side
+    # statistic (incl. the prefix token count) fuses into ONE
+    # aggregation job — finalize was previously a cascade of 7 tiny
+    # driver-synchronized jobs whose scheduling overhead dominated.
+    half = n_docs // 2
     docs_all = spark.read.option("basePath", paths.docs).parquet(
         *[os.path.join(paths.docs, f"chunk={c}") for c in range(n_chunks)])
     stats_row = docs_all.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_raw").alias("n_raw_tokens"),
         F.sum("dl").alias("sum_dl"),
+        F.sum(F.when(F.col("doc_id") <= half, F.col("n_raw"))
+              .otherwise(F.lit(0))).alias("t_half"),
     ).collect()[0]
-    n_docs = stats_row["n_docs"]
+    assert stats_row["n_docs"] == n_docs, "docs chunks disagree with stage0"
     # exact-integer division pins avgdl bit-identically vs the oracle
     avgdl = stats_row["sum_dl"] / n_docs if n_docs else 0.0
 
@@ -363,23 +429,32 @@ def build_index(
          .alias("min_doc_id"),
     )
     df_table.persist()
-    vocab = df_table.count()
+    vocab_row = df_table.agg(
+        F.count("*").alias("vocab"),
+        F.count(F.when(F.col("min_doc_id") <= half, True))
+         .alias("v_half")).collect()[0]
+    vocab = vocab_row["vocab"]
 
     joined = segments.join(df_table.select("term", "df"), "term")
     final_rows = joined.mapInPandas(
         _finalize_kernel(n_docs, avgdl, block_size, k1, b),
         schema=POSTINGS_SCHEMA)
+    # repartition by bucket before the partitioned write: without it
+    # every shuffle task writes a sliver into every bucket dir
+    # (tasks × buckets small files — observed 970 at 32 cores) and
+    # the serial commit protocol dominates.  One task per bucket here;
+    # at petabyte scale repartition by (bucket, salt) instead so each
+    # bucket gets n_chunks parallel writers and n_chunks files.
     (final_rows
      .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+     .repartition(n_buckets, "bucket")
      .write.partitionBy("bucket").mode("overwrite")
      .parquet(paths.postings))
 
     # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
     # the full corpus and the doc_id ≤ N/2 prefix.
-    half = n_docs // 2
-    v_half = df_table.where(F.col("min_doc_id") <= half).count()
-    t_half = docs_all.where(F.col("doc_id") <= half).agg(
-        F.sum("n_raw")).collect()[0][0] or 0
+    v_half = vocab_row["v_half"]
+    t_half = int(stats_row["t_half"] or 0)
     t_total = int(stats_row["n_raw_tokens"] or 0)
     heaps_b, heaps_k = float("nan"), float("nan")
     if v_half and t_half and t_total and vocab and t_total != t_half:
@@ -398,6 +473,9 @@ def build_index(
         paths.corpus_stats)
 
     stage_secs["finalize"] = time.time() - ts
+    # drop the tokenize intermediate — postings/docs/stats are final
+    import shutil
+    shutil.rmtree(paths.term_rows, ignore_errors=True)
     wall_total = time.time() - t0
     dps = n_docs / wall_total if wall_total > 0 else None
     write_manifest(out_dir, "finalize", {

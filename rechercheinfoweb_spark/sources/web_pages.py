@@ -30,6 +30,7 @@ from __future__ import annotations
 import datetime as _dt
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import (
@@ -154,34 +155,72 @@ def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None
-                   ) -> DataFrame:
+def assign_doc_ids(pages: DataFrame, n_rows: int | None = None,
+                   target_rows_per_bucket: int = 5000) -> DataFrame:
     """Canonical deterministic docID: dense 1..N by url order.
 
     Scale note: a bare ``row_number() over (order by url)`` collapses
-    10^12 rows onto one partition.  Instead: range-partition by url,
-    rank within each partition, then add per-partition offsets
-    computed from a tiny driver-side count array — identical result,
-    fully parallel (the classic zipWithIndex two-phase numbering,
-    expressed in DataFrame ops).
+    10^12 rows onto one partition.  The usual fix — range-partition,
+    rank locally, add offsets — is execution-NONDETERMINISTIC in
+    Spark: ``repartitionByRange`` samples boundaries per computation,
+    so the offsets collected in one pass can disagree with the
+    partitioning of the next (observed: duplicate ids).  Instead we
+    make the partitioner a *pure function of the data*:
+
+    1. deterministic hash-sample of urls -> sorted boundary list
+       (driver-side, ~50 samples per bucket);
+    2. bucket(url) = searchsorted(boundaries, url)  — an Arrow UDF,
+       identical on every computation and at every parallelism;
+    3. rank within bucket (partition-local sort) + per-bucket offsets
+       from one tiny count aggregation.
+
+    Result is exactly ``row_number() over (order by url)``, fully
+    parallel, stable across recomputation — which the two-cluster-
+    size scaling check and resume-from-checkpoint both rely on.
+    Bucket count scales with n (cap 4096; at 10^12 docs raise the cap
+    or the per-bucket target so each bucket's local sort fits spill).
     """
+    from pyspark.sql.types import IntegerType
+    from pyspark.sql.functions import pandas_udf
+
     spark = pages.sparkSession
-    parts = num_partitions or spark.sparkContext.defaultParallelism
-    sdf = (
-        pages.repartitionByRange(parts, "url")
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_local", F.row_number().over(
-            Window.partitionBy("_pid").orderBy("url")))
-    )
-    counts = {r["_pid"]: r["c"] for r in
-              sdf.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    n = n_rows if n_rows is not None else pages.count()
+    parts = max(1, min(4096, n // target_rows_per_bucket))
+    boundaries: list[str] = []
+    if parts > 1:
+        sample_mod = max(1, n // (parts * 50))
+        sample = sorted(
+            r["url"] for r in pages.select("url")
+            .where(F.pmod(F.xxhash64("url"), F.lit(sample_mod)) == 0)
+            .collect())
+        if sample:
+            stride = max(1, len(sample) // parts)
+            boundaries = sorted({sample[i] for i in
+                                 range(stride, len(sample), stride)})
+
+    bounds_arr = np.array(boundaries, dtype=object)
+
+    @pandas_udf(IntegerType())
+    def _bucket(urls: pd.Series) -> pd.Series:
+        if len(bounds_arr) == 0:
+            return pd.Series(np.zeros(len(urls), dtype=np.int32))
+        return pd.Series(np.searchsorted(
+            bounds_arr, urls.to_numpy(dtype=object), side="right"
+        ).astype(np.int32))
+
+    sdf = pages.withColumn("_b", _bucket(F.col("url")))
+    counts = {r["_b"]: r["c"] for r in
+              sdf.groupBy("_b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     offmap = F.create_map(*[
         F.lit(x) for kv in offsets.items() for x in kv
     ]) if offsets else F.create_map()
     return sdf.withColumn(
-        "doc_id", (offmap[F.col("_pid")] + F.col("_local")).cast("long")
-    ).drop("_pid", "_local")
+        "_local", F.row_number().over(
+            Window.partitionBy("_b").orderBy("url"))
+    ).withColumn(
+        "doc_id", (offmap[F.col("_b")] + F.col("_local")).cast("long")
+    ).drop("_b", "_local")

@@ -1,0 +1,240 @@
+"""Two-cluster-size scaling-efficiency evidence (north rule).
+
+The rule requires the same index-build job at N and 4N executors with
+docs-indexed/sec scaling efficiency >= 0.8.  No real cluster exists in
+this sandbox, so we evidence it the sanctioned way: the SAME job
+(identical input parquet, identical code, identical configs except
+parallelism) at ``local[8]`` vs ``local[32]`` in fresh JVMs, reporting
+throughput at both plus efficiency = (dps_4N / dps_N) / 4.
+
+Usage:
+  python scripts/scaling_run.py [--n-docs 120000] [--cores 8,32]
+                                [--update-baseline]
+
+Each measured run happens in a subprocess (one SparkSession per JVM —
+master cannot change in-process).  The corpus is generated once to
+parquet and shared, so both runs read byte-identical input.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS_DIR = "/tmp/riw_scaling_corpus"
+
+
+def _pkg_zip() -> str:
+    """Zip the engine package for --py-files-style shipping."""
+    import zipfile
+    path = "/tmp/riw_pkg.zip"
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "rechercheinfoweb_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
+          executors: int | None = None, exec_cores: int = 8) -> None:
+    """One measured build.  With --executors E the job runs on a real
+    multi-executor cluster (``local-cluster[E,C,mem]``: separate
+    executor JVMs, code shipped as a zip via addPyFile — the
+    spark-submit --py-files path), which is the faithful in-sandbox
+    version of the north rule's 'N vs 4N executors'."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.session import get_spark
+
+    if executors is not None:
+        zip_path = _pkg_zip()
+        spark = get_spark(
+            app_name=f"riw-scaling-{executors}x{exec_cores}",
+            master=f"local-cluster[{executors},{exec_cores},10240]",
+            shuffle_partitions=2 * executors * exec_cores,
+            extra_conf={"spark.executorEnv.PYTHONPATH": zip_path})
+        spark.sparkContext.addPyFile(zip_path)
+        cores = executors * exec_cores
+    else:
+        spark = get_spark(app_name=f"riw-scaling-{cores}",
+                          master=f"local[{cores}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = build_index(spark, pages, out_dir, n_chunks=n_chunks,
+                      n_buckets=32)
+    wall = time.time() - t0
+    print(json.dumps({
+        "cores": cores, "executors": executors,
+        "n_docs": res.n_docs, "build_secs": round(wall, 2),
+        "docs_per_sec": round(res.n_docs / wall, 1),
+        "stage_secs": {k: round(v, 2) for k, v in res.stage_secs.items()},
+    }))
+    spark.stop()
+
+
+def gen_corpus(n_docs: int) -> str:
+    marker = os.path.join(CORPUS_DIR, f"_N{n_docs}")
+    if os.path.exists(marker):
+        return CORPUS_DIR
+    from rechercheinfoweb_spark.session import get_spark
+    from rechercheinfoweb_spark.sources.web_pages import synthetic_web_pages
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    spark = get_spark(app_name="riw-scaling-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthetic_web_pages(spark, n_docs).write.mode("overwrite").parquet(
+        CORPUS_DIR)
+    spark.stop()
+    open(marker, "w").close()
+    return CORPUS_DIR
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=240_000)
+    ap.add_argument("--cores", default="2,8",
+                    help="comma list of local[N] sizes (CPU-pinned)")
+    ap.add_argument("--executors", default=None,
+                    help="comma list of executor counts — uses "
+                         "local-cluster[E,<executor-cores>,10g] "
+                         "instead of pinned local[N]")
+    ap.add_argument("--executor-cores", type=int, default=8)
+    ap.add_argument("--n-chunks", type=int, default=8)
+    ap.add_argument("--update-baseline", action="store_true")
+    ap.add_argument("--child", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--child-executors", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child is not None or args.child_executors is not None:
+        cores = args.child or (args.child_executors * args.executor_cores)
+        child(cores, args.corpus,
+              f"/tmp/riw_scaling_ix_{cores}", args.n_chunks,
+              executors=args.child_executors,
+              exec_cores=args.executor_cores)
+        return 0
+
+    corpus = gen_corpus(args.n_docs)
+    results = []
+    if args.executors:
+        runs = [("executors", int(e)) for e in args.executors.split(",")]
+    else:
+        runs = [("cores", int(c)) for c in args.cores.split(",")]
+    for kind, n in runs:
+        print(f"-- build at {kind}={n} ...", file=sys.stderr)
+        # drop the previous run's output and let its dirty pages
+        # flush — back-to-back builds otherwise contend on writeback
+        # and distort the second measurement
+        for d in os.listdir("/tmp"):
+            if d.startswith("riw_scaling_ix_"):
+                shutil.rmtree(os.path.join("/tmp", d), ignore_errors=True)
+        subprocess.run(["sync"], check=False)
+        time.sleep(3)
+        if kind == "executors":
+            # real multi-executor JVMs; no pinning (each executor is
+            # its own process with exec_cores task threads)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--child-executors", str(n),
+                   "--executor-cores", str(args.executor_cores),
+                   "--corpus", corpus, "--n-chunks", str(args.n_chunks)]
+        else:
+            # Pin the whole child tree (JVM task threads + pyspark
+            # workers) to exactly `cores` CPUs: without affinity a
+            # local[N] job offloads Python-kernel CPU to extra cores,
+            # which flatters the small-N run and understates scaling.
+            # With taskset, local[N] is a faithful N-core executor.
+            cmd = ["taskset", "-c", f"0-{n - 1}",
+                   sys.executable, os.path.abspath(__file__),
+                   "--child", str(n), "--corpus", corpus,
+                   "--n-chunks", str(args.n_chunks)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             cwd=REPO, check=False)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+        if not line:
+            print(out.stdout, out.stderr, file=sys.stderr)
+            return 1
+        results.append(json.loads(line[-1]))
+        print(f"   {results[-1]}", file=sys.stderr)
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    if args.executors:
+        unit = (f"eff({lo['executors']} vs {hi['executors']} executors "
+                f"x {args.executor_cores} cores)")
+    else:
+        unit = f"eff(N={lo['cores']} vs {hi['cores']} cores)"
+    summary = {
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": unit,
+        "runs": results,
+        "n_docs": args.n_docs,
+    }
+    print(json.dumps(summary))
+
+    if args.update_baseline:
+        update_baseline(summary)
+    return 0
+
+
+def update_baseline(summary: dict) -> None:
+    """Rewrite the measured-scaling section of BASELINE.md."""
+    path = os.path.join(REPO, "BASELINE.md")
+    begin, end = ("<!-- scaling-results:begin -->",
+                  "<!-- scaling-results:end -->")
+    lo, hi = summary["runs"][0], summary["runs"][-1]
+
+    def _label(r):
+        if r.get("executors"):
+            return (f"local-cluster[{r['executors']} executors x "
+                    f"{r['cores'] // r['executors']} cores]")
+        return f"local[{r['cores']}] (CPU-pinned)"
+
+    block = "\n".join([
+        begin,
+        "## Measured scaling (this sandbox)",
+        "",
+        f"Same index-build job, same {summary['n_docs']:,}-doc parquet "
+        "corpus, fresh session per run, engine shipped as a zip via "
+        "the --py-files path (`scripts/scaling_run.py`):",
+        "",
+        "| setup | build secs | docs/sec |",
+        "|---|---|---|",
+        f"| {_label(lo)} | {lo['build_secs']} | {lo['docs_per_sec']:,} |",
+        f"| {_label(hi)} | {hi['build_secs']} | {hi['docs_per_sec']:,} |",
+        "",
+        f"**Scaling efficiency ({summary['unit']}): "
+        f"{summary['value']}** (target >= 0.8: "
+        f"{'PASS' if summary['value'] >= 0.8 else 'FAIL'})",
+        end,
+    ])
+    text = open(path).read()
+    if begin in text:
+        pre = text.split(begin)[0]
+        post = text.split(end)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+    print(f"updated {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
