@@ -274,6 +274,48 @@ def _q_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _q_pr_curve(spark, sf_dir):
+    """Eval-harness V1 (SURVEY §2.6) as a contract query: rank every
+    doc by BM25 for the fixed query; qrels = docs containing all
+    three terms; emit the P/R walk (rank, recall, precision)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = _tf(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")) \
+              .select((F.col("s") / F.col("c")).alias("a")) \
+              .collect()[0]["a"]
+    qtf = tf.where(F.col("term").isin(*QUERY_TERMS))
+    dfs = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    hits = qtf.join(F.broadcast(dfs), "term").join(dl, "doc_id")
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    w = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl")
+                            / F.lit(float(avgdl))))
+    scored = hits.groupBy("doc_id").agg(
+        F.round(F.sum(w), 6).alias("score"))
+    rel = (qtf.groupBy("doc_id")
+           .agg(F.countDistinct("term").alias("nt"))
+           .where(F.col("nt") == len(QUERY_TERMS))
+           .select("doc_id", F.lit(1).alias("rel")))
+    n_valid = rel.count()
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (scored.join(F.broadcast(rel), "doc_id", "left")
+              .withColumn("rank", F.row_number().over(wr))
+              .withColumn("cum_rel",
+                          F.sum(F.coalesce("rel", F.lit(0)))
+                          .over(wr.rowsBetween(Window.unboundedPreceding,
+                                               0))))
+    return (ranked.where(F.col("rel") == 1)
+            .select("rank",
+                    F.round(F.col("cum_rel") / F.lit(float(n_valid)), 6)
+                    .alias("recall"),
+                    F.round(F.col("cum_rel") / F.col("rank"), 6)
+                    .alias("precision"))
+            .orderBy("rank"))
+
+
 def _q_engine_bm25(spark, sf_dir):
     """Full engine path (stemmed tokenizer, packed index, WAND) —
     rows-only check (Porter2 is not expressible in SQL)."""
@@ -319,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ev_hourly": _q_events_hourly,
         "ev_sessionize": _q_sessionize,
+        "ev_pr_curve": _q_pr_curve,
         "ix_engine_bm25_topk": _q_engine_bm25,
     }
 
@@ -521,6 +564,47 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+        "ev_pr_curve": f"""
+            WITH tf AS ({_SQL_TF}),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 dls AS (SELECT doc_id, sum(tf) AS dl FROM tf
+                         GROUP BY doc_id),
+                 ad AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl
+                        FROM dls),
+                 qtf AS (SELECT * FROM tf
+                         WHERE term IN ('data','query','stream')),
+                 dfs AS (SELECT term, count(*) AS df FROM qtf
+                         GROUP BY term),
+                 scored AS (
+                   SELECT qtf.doc_id,
+                          round(sum(
+                            ln((n.n_docs - dfs.df + 0.5)
+                               / (dfs.df + 0.5) + 1)
+                            * (qtf.tf * ({K1} + 1))
+                            / (qtf.tf + {K1} * (1 - {B}
+                               + {B} * dls.dl / ad.avgdl))
+                          ), 6) AS score
+                   FROM qtf JOIN dfs USING (term)
+                            JOIN dls USING (doc_id), n, ad
+                   GROUP BY qtf.doc_id),
+                 rel AS (SELECT doc_id, 1 AS rel FROM qtf
+                         GROUP BY doc_id
+                         HAVING count(DISTINCT term) = 3),
+                 nv AS (SELECT count(*) AS n_valid FROM rel),
+                 ranked AS (
+                   SELECT s.doc_id, s.score, r.rel,
+                          row_number() OVER
+                            (ORDER BY s.score DESC, s.doc_id ASC)
+                            AS rank,
+                          sum(coalesce(r.rel, 0)) OVER
+                            (ORDER BY s.score DESC, s.doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_rel
+                   FROM scored s LEFT JOIN rel r USING (doc_id))
+            SELECT CAST(rank AS INT) AS rank,
+                   round(cum_rel * 1.0 / nv.n_valid, 6) AS recall,
+                   round(cum_rel * 1.0 / rank, 6) AS precision
+            FROM ranked, nv WHERE rel = 1 ORDER BY rank""",
         "ev_sessionize": """
             WITH g AS (
               SELECT user_id,

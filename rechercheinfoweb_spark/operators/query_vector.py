@@ -172,6 +172,96 @@ def _weights_offset(data: bytes, n: int, ids_end: int) -> int:
     return off
 
 
+def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
+                              scheme: str, k: int, n_docs: int,
+                              n_chunks: int):
+    """applyInPandas kernel over one salt shard's posting rows,
+    scoring EVERY query of the batch in a single pass.
+
+    Each term's blocks decode once; each query then accumulates
+    mult x weight over its own terms in sorted-term order — the same
+    float-op order as the single-query kernel and the oracle, so
+    batch results are bit-identical to one-at-a-time results.  Used
+    by the evaluation harness (SURVEY.md §2.6): 64 queries cost one
+    distributed pass, not 64 driver round-trips."""
+    wcol = SCHEME_COL[scheme]
+    all_terms = sorted({t for m in query_mults.values() for t in m})
+
+    def fn(pdf):
+        import pandas as pd
+        cols = {"qid": [], "doc_id": [], "score": []}
+        if len(pdf) == 0:
+            return pd.DataFrame(cols)
+        cap = n_docs // n_chunks + 2
+        salt = int(pdf["salt"].iloc[0])
+        by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for term, blocks in zip(pdf["term"], pdf["blocks"]):
+            decoded = []
+            for blk in blocks:
+                n = int(blk["n"])
+                data = bytes(blk["data"])
+                deltas, off = codec.decode_varints(data, n)
+                ids = np.cumsum(deltas.astype(np.int64))
+                w = np.frombuffer(
+                    data, dtype=np.float64, count=n * codec.N_WEIGHTS,
+                    offset=_weights_offset(data, n, off),
+                ).reshape((n, codec.N_WEIGHTS), order="F")[:, wcol]
+                decoded.append((ids // n_chunks, w))
+            by_term[term] = decoded
+        for qid in sorted(query_mults):
+            mult = query_mults[qid]
+            exact = np.zeros(cap, dtype=np.float64)
+            present = np.zeros(cap, dtype=bool)
+            for term in sorted(mult):
+                m = np.float64(mult[term])
+                for pos, w in by_term.get(term, ()):
+                    exact[pos] += m * w
+                    present[pos] = True
+            cand = np.nonzero(present)[0]
+            if cand.size == 0:
+                continue
+            scores = exact[cand]
+            order = np.lexsort((cand, -scores))[:k]
+            sel = cand[order]
+            cols["qid"].extend([qid] * len(sel))
+            cols["doc_id"].extend((sel * n_chunks + salt).tolist())
+            cols["score"].extend(scores[order].tolist())
+        return pd.DataFrame(cols)
+
+    fn.terms = all_terms
+    return fn
+
+
+def vector_topk_batch(spark: SparkSession,
+                      index_dir: str | IndexReader,
+                      queries: dict[int, str], scheme: str = "bm25",
+                      k: int = 20,
+                      stopwords: frozenset[str] = STOPWORDS
+                      ) -> DataFrame:
+    """Top-k for a whole query batch: (qid, rank, doc_id, score).
+
+    Rank order per qid = (score desc, doc_id asc), identical to
+    :func:`vector_topk` per query."""
+    from pyspark.sql.window import Window
+
+    reader = (index_dir if isinstance(index_dir, IndexReader)
+              else IndexReader(spark, index_dir))
+    mults = {qid: dict(Counter(vector_query_terms(q, stopwords)))
+             for qid, q in queries.items()}
+    mults = {qid: m for qid, m in mults.items() if m}
+    kern = _score_shard_batch_kernel(mults, scheme, k, reader.n_docs,
+                                     reader.n_chunks)
+    rows = reader.postings_for(kern.terms)
+    scored = (rows.select("term", "salt", "blocks")
+              .groupBy("salt")
+              .applyInPandas(kern,
+                             schema="qid int, doc_id long, score double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "doc_id", "score"))
+
+
 def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
                 query: str, scheme: str = "bm25", k: int = 20,
                 use_pruning: bool = True,
