@@ -58,6 +58,10 @@ from ..plans.checkpoints import (
 )
 from ..sources.web_pages import assign_doc_ids
 
+# bump when the on-disk index layout changes incompatibly
+# (v2: range chunking + chunk registry)
+INDEX_LAYOUT_VERSION = 2
+
 BLOCK_TYPE = StructType([
     StructField("first_doc_id", LongType(), False),
     StructField("n", IntegerType(), False),
@@ -117,6 +121,9 @@ class IndexPaths:
     @property
     def term_rows(self) -> str:
         return os.path.join(self.out_dir, "term_rows")
+    @property
+    def chunks(self) -> str:
+        return os.path.join(self.out_dir, "chunks")
 
 
 @dataclass
@@ -248,6 +255,103 @@ def _finalize_kernel(n_docs: int, avgdl: float, block_size: int,
     return fn
 
 
+def finalize_index(spark: SparkSession, out_dir: str, *,
+                   n_buckets: int = 16,
+                   block_size: int = codec.DEFAULT_BLOCK,
+                   k1: float = scoring.K1, b: float = scoring.B,
+                   expected_n_docs: int | None = None) -> dict:
+    """Stage 2: global df/idf/avgdl over ALL chunks in the registry,
+    rewrite segment blocks into final weighted+block-max postings,
+    write corpus_stats.  Shared by the batch build and the streaming
+    refresh (streaming/incremental.py) — after new chunks are
+    appended, re-running this re-scales every weight to the new
+    global statistics (idf/avgdl are global, so a refresh is a full
+    postings rewrite — the Lucene-style segment-merge moment)."""
+    paths = IndexPaths(out_dir)
+    chunk_list = sorted(r["chunk"] for r in
+                        spark.read.parquet(paths.chunks).collect())
+    docs_all = spark.read.option("basePath", paths.docs).parquet(
+        *[os.path.join(paths.docs, f"chunk={c}") for c in chunk_list])
+    if expected_n_docs is None:
+        n_docs = docs_all.count()
+    else:
+        n_docs = expected_n_docs
+    # Every docs-side statistic (incl. the Heaps prefix token count)
+    # fuses into ONE aggregation job — a cascade of tiny driver-
+    # synchronized jobs would be dominated by scheduling overhead.
+    half = n_docs // 2
+    stats_row = docs_all.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_raw").alias("n_raw_tokens"),
+        F.sum("dl").alias("sum_dl"),
+        F.sum(F.when(F.col("doc_id") <= half, F.col("n_raw"))
+              .otherwise(F.lit(0))).alias("t_half"),
+    ).collect()[0]
+    assert stats_row["n_docs"] == n_docs, \
+        "docs chunks disagree with registry/stage0"
+    # exact-integer division pins avgdl bit-identically vs the oracle
+    avgdl = stats_row["sum_dl"] / n_docs if n_docs else 0.0
+
+    segments = spark.read.option("basePath", paths.segments).parquet(
+        *[os.path.join(paths.segments, f"chunk={c}")
+          for c in chunk_list])
+    df_table = segments.groupBy("term").agg(
+        F.sum("df_part").alias("df"),
+        F.min(F.element_at("blocks", 1)["first_doc_id"])
+         .alias("min_doc_id"),
+    )
+    df_table.persist()
+    vocab_row = df_table.agg(
+        F.count("*").alias("vocab"),
+        F.count(F.when(F.col("min_doc_id") <= half, True))
+         .alias("v_half")).collect()[0]
+    vocab = vocab_row["vocab"]
+
+    joined = segments.join(df_table.select("term", "df"), "term")
+    final_rows = joined.mapInPandas(
+        _finalize_kernel(n_docs, avgdl, block_size, k1, b),
+        schema=POSTINGS_SCHEMA)
+    # repartition by bucket before the partitioned write: without it
+    # every shuffle task writes a sliver into every bucket dir
+    # (tasks × buckets small files — observed 970 at 32 cores) and
+    # the serial commit protocol dominates.  One task per bucket here;
+    # at petabyte scale repartition by (bucket, salt) instead so each
+    # bucket gets n_chunks parallel writers and n_chunks files.
+    (final_rows
+     .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+     .repartition(n_buckets, "bucket")
+     .write.partitionBy("bucket").mode("overwrite")
+     .parquet(paths.postings))
+
+    # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
+    # the full corpus and the doc_id ≤ N/2 prefix.
+    v_half = vocab_row["v_half"]
+    t_half = int(stats_row["t_half"] or 0)
+    t_total = int(stats_row["n_raw_tokens"] or 0)
+    heaps_b, heaps_k = float("nan"), float("nan")
+    if v_half and t_half and t_total and vocab and t_total != t_half:
+        heaps_b = math.log(vocab / v_half) / math.log(t_total / t_half)
+        heaps_k = vocab / (t_total ** heaps_b)
+    df_table.unpersist()
+
+    stats_df = spark.createDataFrame(
+        [(n_docs, t_total, int(stats_row["sum_dl"] or 0), avgdl, vocab,
+          heaps_b, heaps_k, len(chunk_list), n_buckets, block_size,
+          k1, b)],
+        schema=("n_docs long, n_raw_tokens long, sum_dl long, "
+                "avgdl double, vocabulary long, heaps_b double, "
+                "heaps_k double, n_chunks int, n_buckets int, "
+                "block_size int, k1 double, b double"))
+    stats_df.coalesce(1).write.mode("overwrite").parquet(
+        paths.corpus_stats)
+    # drop the tokenize intermediate — postings/docs/stats are final
+    import shutil
+    shutil.rmtree(paths.term_rows, ignore_errors=True)
+    return {"n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
+            "heaps_b": heaps_b, "heaps_k": heaps_k,
+            "n_chunks": len(chunk_list)}
+
+
 def term_bucket(col, n_buckets: int):
     """Bucket assignment for postings partition pruning — must be a
     Spark-side expression so query-time lookups compute the same."""
@@ -283,18 +387,35 @@ def build_index(
     fp_row = pages.agg(
         F.count("*").alias("c"),
         F.expr("bit_xor(xxhash64(url))").alias("h")).collect()[0]
+    # layout version participates in the fingerprint: an index built
+    # by an older on-disk layout is rebuilt, not resumed into
     fingerprint = {"n_rows": fp_row["c"],
-                   "url_hash_xor": str(fp_row["h"])}
+                   "url_hash_xor": str(fp_row["h"]),
+                   "layout": INDEX_LAYOUT_VERSION}
     if resume and stage_complete(out_dir, "stage0", fingerprint):
         resumed.append("stage0")
         n_docs = read_manifest(out_dir, "stage0")["n_docs"]
     else:
         ts = time.time()
-        staged = assign_doc_ids(pages, n_rows=fp_row["c"]).withColumn(
-            "chunk", F.pmod(F.col("doc_id"), F.lit(n_chunks)).cast("int")
+        # chunks are CONTIGUOUS doc-id ranges (not doc_id % n_chunks):
+        # query kernels then map ids to dense per-shard positions as
+        # id - chunk_base, and a streaming micro-batch can append
+        # itself as simply "the next range" (streaming/incremental.py)
+        n_in = int(fp_row["c"])
+        staged = assign_doc_ids(pages, n_rows=n_in).withColumn(
+            "chunk", (((F.col("doc_id") - 1) * n_chunks)
+                      / F.lit(max(n_in, 1))).cast("int")
         ).select("doc_id", "chunk", "url", "text", "lang")
         staged.write.partitionBy("chunk").mode("overwrite").parquet(
             paths.staged)
+        # chunk registry: (chunk, min_id, n_docs) — the source of
+        # truth for shard→id-range mapping at query time and for
+        # which chunk dirs exist (streaming appends extend it)
+        (spark.read.parquet(paths.staged)
+         .groupBy("chunk")
+         .agg(F.min("doc_id").alias("min_id"),
+              F.count("*").alias("n_docs"))
+         .coalesce(1).write.mode("overwrite").parquet(paths.chunks))
         # row count is already pinned by the input fingerprint — no
         # verification re-scan (assign_doc_ids is row-preserving)
         n_docs = int(fp_row["c"])
@@ -401,81 +522,11 @@ def build_index(
         return BuildResult(paths, m["n_docs"], wall_total,
                            m["docs_per_sec"], stage_secs, resumed)
     ts = time.time()
-    # n_docs is already pinned by the stage-0 manifest, so the Heaps
-    # half-corpus boundary is known up front and every docs-side
-    # statistic (incl. the prefix token count) fuses into ONE
-    # aggregation job — finalize was previously a cascade of 7 tiny
-    # driver-synchronized jobs whose scheduling overhead dominated.
-    half = n_docs // 2
-    docs_all = spark.read.option("basePath", paths.docs).parquet(
-        *[os.path.join(paths.docs, f"chunk={c}") for c in range(n_chunks)])
-    stats_row = docs_all.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_raw").alias("n_raw_tokens"),
-        F.sum("dl").alias("sum_dl"),
-        F.sum(F.when(F.col("doc_id") <= half, F.col("n_raw"))
-              .otherwise(F.lit(0))).alias("t_half"),
-    ).collect()[0]
-    assert stats_row["n_docs"] == n_docs, "docs chunks disagree with stage0"
-    # exact-integer division pins avgdl bit-identically vs the oracle
-    avgdl = stats_row["sum_dl"] / n_docs if n_docs else 0.0
-
-    segments = spark.read.option("basePath", paths.segments).parquet(
-        *[os.path.join(paths.segments, f"chunk={c}")
-          for c in range(n_chunks)])
-    df_table = segments.groupBy("term").agg(
-        F.sum("df_part").alias("df"),
-        F.min(F.element_at("blocks", 1)["first_doc_id"])
-         .alias("min_doc_id"),
-    )
-    df_table.persist()
-    vocab_row = df_table.agg(
-        F.count("*").alias("vocab"),
-        F.count(F.when(F.col("min_doc_id") <= half, True))
-         .alias("v_half")).collect()[0]
-    vocab = vocab_row["vocab"]
-
-    joined = segments.join(df_table.select("term", "df"), "term")
-    final_rows = joined.mapInPandas(
-        _finalize_kernel(n_docs, avgdl, block_size, k1, b),
-        schema=POSTINGS_SCHEMA)
-    # repartition by bucket before the partitioned write: without it
-    # every shuffle task writes a sliver into every bucket dir
-    # (tasks × buckets small files — observed 970 at 32 cores) and
-    # the serial commit protocol dominates.  One task per bucket here;
-    # at petabyte scale repartition by (bucket, salt) instead so each
-    # bucket gets n_chunks parallel writers and n_chunks files.
-    (final_rows
-     .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
-     .repartition(n_buckets, "bucket")
-     .write.partitionBy("bucket").mode("overwrite")
-     .parquet(paths.postings))
-
-    # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
-    # the full corpus and the doc_id ≤ N/2 prefix.
-    v_half = vocab_row["v_half"]
-    t_half = int(stats_row["t_half"] or 0)
-    t_total = int(stats_row["n_raw_tokens"] or 0)
-    heaps_b, heaps_k = float("nan"), float("nan")
-    if v_half and t_half and t_total and vocab and t_total != t_half:
-        heaps_b = math.log(vocab / v_half) / math.log(t_total / t_half)
-        heaps_k = vocab / (t_total ** heaps_b)
-    df_table.unpersist()
-
-    stats_df = spark.createDataFrame(
-        [(n_docs, t_total, int(stats_row["sum_dl"] or 0), avgdl, vocab,
-          heaps_b, heaps_k, n_chunks, n_buckets, block_size, k1, b)],
-        schema=("n_docs long, n_raw_tokens long, sum_dl long, "
-                "avgdl double, vocabulary long, heaps_b double, "
-                "heaps_k double, n_chunks int, n_buckets int, "
-                "block_size int, k1 double, b double"))
-    stats_df.coalesce(1).write.mode("overwrite").parquet(
-        paths.corpus_stats)
-
+    fin = finalize_index(spark, out_dir, n_buckets=n_buckets,
+                         block_size=block_size, k1=k1, b=b,
+                         expected_n_docs=n_docs)
+    vocab, avgdl = fin["vocabulary"], fin["avgdl"]
     stage_secs["finalize"] = time.time() - ts
-    # drop the tokenize intermediate — postings/docs/stats are final
-    import shutil
-    shutil.rmtree(paths.term_rows, ignore_errors=True)
     wall_total = time.time() - t0
     dps = n_docs / wall_total if wall_total > 0 else None
     write_manifest(out_dir, "finalize", {

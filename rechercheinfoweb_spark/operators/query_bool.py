@@ -135,7 +135,9 @@ def parse_boolean(query: str):
 # Evaluation ----------------------------------------------------------
 
 
-def _unpack_ids_kernel(n_chunks: int):
+def _unpack_ids_kernel():
+    """Blocks store absolute delta-encoded doc_ids, so unpacking
+    needs no shard-range mapping."""
     def fn(batches):
         import pandas as pd
         for pdf in batches:
@@ -180,7 +182,7 @@ class BooleanEvaluator:
             if terms:
                 rows = self.reader.postings_for(terms)
                 self._prefetched = rows.select("term", "blocks").mapInPandas(
-                    _unpack_ids_kernel(self.reader.n_chunks),
+                    _unpack_ids_kernel(),
                     schema="term string, doc_id long").persist()
 
     def term_docs(self, word: str) -> DataFrame:
@@ -190,7 +192,7 @@ class BooleanEvaluator:
                     .select("doc_id"))
         rows = self.reader.postings_for([term])
         return rows.select(F.lit("").alias("term"), "blocks").mapInPandas(
-            _unpack_ids_kernel(self.reader.n_chunks),
+            _unpack_ids_kernel(),
             schema="term string, doc_id long").select("doc_id")
 
     def evaluate(self, node, prec: DataFrame | None = None) -> DataFrame:

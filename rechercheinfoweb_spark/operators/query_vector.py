@@ -55,6 +55,11 @@ class IndexReader:
         self.n_chunks = stats["n_chunks"]
         self.n_buckets = stats["n_buckets"]
         self.vocabulary = stats["vocabulary"]
+        # chunk registry: salt/chunk -> (first doc_id, chunk size);
+        # shard kernels map absolute ids to dense positions with it
+        self.salt_map: dict[int, tuple[int, int]] = {
+            r["chunk"]: (r["min_id"], r["n_docs"])
+            for r in spark.read.parquet(self.paths.chunks).collect()}
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         """Posting rows for *terms*, bucket-pruned.
@@ -77,13 +82,16 @@ class IndexReader:
 
     def docs(self) -> DataFrame:
         return self.spark.read.option("basePath", self.paths.docs).parquet(
-            *[f"{self.paths.docs}/chunk={c}" for c in range(self.n_chunks)])
+            *[f"{self.paths.docs}/chunk={c}" for c in self.salt_map])
 
 
 def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
-                        k: int, n_docs: int, n_chunks: int,
+                        k: int, salt_map: dict[int, tuple[int, int]],
                         use_pruning: bool):
-    """applyInPandas kernel over one salt shard's posting rows."""
+    """applyInPandas kernel over one salt shard's posting rows.
+
+    ``salt_map`` maps each shard to its contiguous (first_doc_id,
+    size) range; ids become dense positions as ``id - base``."""
     wcol = SCHEME_COL[scheme]
 
     def fn(pdf):
@@ -91,7 +99,9 @@ def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         pdf = pdf.sort_values("term", kind="mergesort")
-        cap = n_docs // n_chunks + 2  # dense doc-position space
+        salt = int(pdf["salt"].iloc[0])
+        base, cap = salt_map[salt]
+        cap += 2  # dense doc-position space
         # pass 1: decode ids only; per-doc upper bounds from block max
         decoded = []  # (mult, positions, block_max, data, n)
         ub = np.zeros(cap, dtype=np.float64)
@@ -104,7 +114,7 @@ def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
                 data = bytes(blk["data"])
                 deltas, off = codec.decode_varints(data, n)
                 ids = np.cumsum(deltas.astype(np.int64))
-                pos = ids // n_chunks
+                pos = ids - base
                 bmax = float((blk["max_w_raw"], blk["max_w_norm"],
                               blk["max_w_half"], blk["max_bm25"])[wcol])
                 ub[pos] += mult * bmax
@@ -157,9 +167,8 @@ def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
         scores = exact[cand]
         order = np.lexsort((cand, -scores))[:k]
         sel = cand[order]
-        salt = int(pdf["salt"].iloc[0])
         return pd.DataFrame({
-            "doc_id": (sel * n_chunks + salt).astype(np.int64),
+            "doc_id": (sel + base).astype(np.int64),
             "score": scores[order],
         })
 
@@ -173,8 +182,8 @@ def _weights_offset(data: bytes, n: int, ids_end: int) -> int:
 
 
 def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
-                              scheme: str, k: int, n_docs: int,
-                              n_chunks: int):
+                              scheme: str, k: int,
+                              salt_map: dict[int, tuple[int, int]]):
     """applyInPandas kernel over one salt shard's posting rows,
     scoring EVERY query of the batch in a single pass.
 
@@ -192,8 +201,9 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
         cols = {"qid": [], "doc_id": [], "score": []}
         if len(pdf) == 0:
             return pd.DataFrame(cols)
-        cap = n_docs // n_chunks + 2
         salt = int(pdf["salt"].iloc[0])
+        base, cap = salt_map[salt]
+        cap += 2
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
             decoded = []
@@ -206,7 +216,7 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
                     data, dtype=np.float64, count=n * codec.N_WEIGHTS,
                     offset=_weights_offset(data, n, off),
                 ).reshape((n, codec.N_WEIGHTS), order="F")[:, wcol]
-                decoded.append((ids // n_chunks, w))
+                decoded.append((ids - base, w))
             by_term[term] = decoded
         for qid in sorted(query_mults):
             mult = query_mults[qid]
@@ -224,7 +234,7 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
             order = np.lexsort((cand, -scores))[:k]
             sel = cand[order]
             cols["qid"].extend([qid] * len(sel))
-            cols["doc_id"].extend((sel * n_chunks + salt).tolist())
+            cols["doc_id"].extend((sel + base).tolist())
             cols["score"].extend(scores[order].tolist())
         return pd.DataFrame(cols)
 
@@ -249,8 +259,7 @@ def vector_topk_batch(spark: SparkSession,
     mults = {qid: dict(Counter(vector_query_terms(q, stopwords)))
              for qid, q in queries.items()}
     mults = {qid: m for qid, m in mults.items() if m}
-    kern = _score_shard_batch_kernel(mults, scheme, k, reader.n_docs,
-                                     reader.n_chunks)
+    kern = _score_shard_batch_kernel(mults, scheme, k, reader.salt_map)
     rows = reader.postings_for(kern.terms)
     scored = (rows.select("term", "salt", "blocks")
               .groupBy("salt")
@@ -275,8 +284,8 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
     mult = dict(Counter(terms))
     rows = reader.postings_for(list(mult))
     scored = rows.select("term", "salt", "blocks").groupBy("salt").applyInPandas(
-        _score_shard_kernel(mult, scheme, k, reader.n_docs,
-                            reader.n_chunks, use_pruning),
+        _score_shard_kernel(mult, scheme, k, reader.salt_map,
+                            use_pruning),
         schema="doc_id long, score double")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:

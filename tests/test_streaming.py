@@ -1,0 +1,149 @@
+"""Streaming tests (file source + availableNow trigger, no sleeps).
+
+Key invariant: streaming ingestion + refresh must produce an index
+that answers queries exactly like a batch build over the same pages —
+same global stats, rank-identical BM25 top-k (scores equal at 1e-9;
+doc ids may differ because streaming assigns ids per arrival batch,
+so we compare by url)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rechercheinfoweb_spark.operators.index_build import build_index
+from rechercheinfoweb_spark.operators.query_vector import (
+    IndexReader, vector_topk,
+)
+from rechercheinfoweb_spark.sources.web_pages import (
+    WEB_PAGES_SCHEMA, synthetic_web_pages,
+)
+from rechercheinfoweb_spark.streaming import events as sev
+from rechercheinfoweb_spark.streaming import incremental as inc
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """Three parquet files == three micro-batches of pages."""
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    pages = synthetic_web_pages(spark, N).collect()
+    for i, lo in enumerate(range(0, N, N // 3 + 1)):
+        batch = pages[lo:lo + N // 3 + 1]
+        spark.createDataFrame(batch, WEB_PAGES_SCHEMA) \
+            .coalesce(1).write.parquet(f"{src}/b{i}")
+    return src
+
+
+def test_incremental_matches_batch(spark, tmp_path_factory, stream_src):
+    out = str(tmp_path_factory.mktemp("inc_idx"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    shutil.rmtree(out, ignore_errors=True)
+
+    stream = (spark.readStream.schema(WEB_PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{stream_src}/*/"))
+    q = inc.index_web_pages_stream(spark, stream, out, ckpt,
+                                   n_buckets=8)
+    q.awaitTermination(300)
+    info = inc.refresh(spark, out, n_buckets=8)
+    assert info["n_chunks"] >= 2  # really arrived as multiple batches
+
+    ref_dir = str(tmp_path_factory.mktemp("batch_idx"))
+    build_index(spark, synthetic_web_pages(spark, N), ref_dir,
+                n_chunks=2, n_buckets=8)
+    r_inc, r_bat = IndexReader(spark, out), IndexReader(spark, ref_dir)
+    assert r_inc.n_docs == r_bat.n_docs == N
+    assert r_inc.vocabulary == r_bat.vocabulary
+    assert abs(r_inc.avgdl - r_bat.avgdl) < 1e-12
+
+    for query in ("search engine ranking", "Spark shuffle"):
+        a = [(r["url"], r["score"]) for r in
+             vector_topk(spark, r_inc, query, "bm25", k=10,
+                         with_urls=True).collect()]
+        b = [(r["url"], r["score"]) for r in
+             vector_topk(spark, r_bat, query, "bm25", k=10,
+                         with_urls=True).collect()]
+        assert len(a) == len(b) > 0
+        for (ua, sa), (ub, sb) in zip(a, b):
+            assert ua == ub and abs(sa - sb) < 1e-9
+
+
+def test_append_batch_idempotent(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idem_idx"))
+    pages = synthetic_web_pages(spark, 30)
+    i1 = inc.append_batch(spark, pages, out, batch_id=0)
+    assert i1["n_docs"] == 30
+    # replay of the same batch_id must be a no-op
+    assert inc.append_batch(spark, pages, out, batch_id=0) is None
+    i2 = inc.append_batch(spark, pages.limit(10), out, batch_id=1)
+    assert i2["first_doc_id"] == 31 and i2["chunk"] == 1
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .where(F.col("user_id") < 12)
+    ev.orderBy("ts").coalesce(1).write.parquet(f"{src}/all")
+    return src, ev
+
+
+def test_windowed_event_counts_stream(spark, events_src):
+    src, ev = events_src
+    stream = (spark.readStream.schema(ev.schema).parquet(f"{src}/*/"))
+    out = sev.windowed_event_counts(stream, window="1 hour")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("win_counts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts")
+    # append-mode emits a window once the watermark (max_ts - 2h)
+    # passes its end — windows inside the final horizon stay open
+    import datetime as dt
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n")))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=4)  # 2h wm + 1h win + margin
+    want = {(r["w"]["start"], r["event_type"]): r["n"]
+            for r in batch.where(F.col("w.start") < F.lit(horizon))
+            .collect()}
+    have = {(r["window_start"], r["event_type"]): r["n"]
+            for r in got.collect()}
+    assert want, "horizon filter left nothing to compare"
+    for k, v in want.items():
+        assert have.get(k) == v, k
+    # and every emitted window must agree with the batch truth
+    full = {(r["w"]["start"], r["event_type"]): r["n"]
+            for r in batch.collect()}
+    for k, v in have.items():
+        assert full.get(k) == v, k
+
+
+def test_sessionize_stream(spark, events_src):
+    src, ev = events_src
+    stream = (spark.readStream.schema(ev.schema).parquet(f"{src}/*/"))
+    out = sev.sessionize_stream(stream.select("user_id", "ts"))
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("sessions")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select user_id, count(*) as n_sessions from sessions "
+        "where closed = 1 group by user_id")
+    have = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    # batch truth: sessions with a 30-min gap; the LAST session per
+    # user is still open in the stream (no timeout fires under
+    # availableNow), so closed-count = batch-count - 1 per user
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch).over(w)
+    batch = (ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id").agg(F.sum("new_sess").alias("n")))
+    for r in batch.collect():
+        assert have.get(r["user_id"], 0) == r["n"] - 1, r
