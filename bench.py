@@ -59,7 +59,7 @@ def main() -> None:
     # corpus (FIXTURES.md §1 bench scale) — the driver's documents
     # table tops out at 5k rows, far too small to measure throughput.
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    n_corpus = max(2000, int(200_000 * sf))
+    n_corpus = max(2000, int(500_000 * sf))
     from rechercheinfoweb_spark.sources.web_pages import (
         synthetic_web_pages,
     )
@@ -70,6 +70,9 @@ def main() -> None:
 
     out = "/tmp/riw_bench_index"
     shutil.rmtree(out, ignore_errors=True)
+    # let prior dirty pages flush so writeback doesn't distort timing
+    import subprocess
+    subprocess.run(["sync"], check=False)
     # chunk count scales with corpus size: resume granularity should
     # amortize orchestration, not dominate it
     n_chunks = min(8, max(2, n_corpus // 5000))

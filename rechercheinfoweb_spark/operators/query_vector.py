@@ -60,6 +60,9 @@ class IndexReader:
         self.salt_map: dict[int, tuple[int, int]] = {
             r["chunk"]: (r["min_id"], r["n_docs"])
             for r in spark.read.parquet(self.paths.chunks).collect()}
+        # one file-listing/schema pass for the postings table, reused
+        # by every query through this reader
+        self._postings = spark.read.parquet(self.paths.postings)
 
     def postings_for(self, terms: list[str]) -> DataFrame:
         """Posting rows for *terms*, bucket-pruned.
@@ -69,14 +72,15 @@ class IndexReader:
         only the matching ``bucket=`` partitions (partition pruning —
         verify with .explain: PartitionFilters on ``bucket``)."""
         if not terms:
-            return self.spark.read.parquet(self.paths.postings).limit(0)
+            return self._postings.limit(0)
         uniq = sorted(set(terms))
         tdf = self.spark.createDataFrame(
             [(t,) for t in uniq], "term string")
-        buckets = [r["b"] for r in tdf.select(
+        # terms are already unique — plain collect, no distinct shuffle
+        buckets = sorted({r["b"] for r in tdf.select(
             term_bucket(F.col("term"), self.n_buckets).alias("b"))
-            .distinct().collect()]
-        return (self.spark.read.parquet(self.paths.postings)
+            .collect()})
+        return (self._postings
                 .where(F.col("bucket").isin(buckets))
                 .where(F.col("term").isin(uniq)))
 
