@@ -247,6 +247,16 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, [float(x) for x in qv], k=20)
 
 
+def _q_embed_near_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < PAIR_DOC_LIMIT)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.15)
+
+
+def _q_embed_near_pairs_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < PAIR_DOC_LIMIT)
+    return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.15)
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (ev.groupBy(
@@ -359,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "dd_embed_near_pairs": _q_embed_near_pairs,
+        "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
         "ev_hourly": _q_events_hourly,
         "ev_sessionize": _q_sessionize,
         "ev_pr_curve": _q_pr_curve,
@@ -558,6 +570,21 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings e, q, qn
             ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+        "dd_embed_near_pairs": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < {PAIR_DOC_LIMIT})
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (greatest(sqrt(list_dot_product(a.v, a.v)),
+                                     1e-12)
+                            * greatest(sqrt(list_dot_product(b.v, b.v)),
+                                       1e-12)), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (greatest(sqrt(list_dot_product(a.v, a.v)),
+                                    1e-12)
+                           * greatest(sqrt(list_dot_product(b.v, b.v)),
+                                      1e-12)), 6) >= 0.15""",
         "ev_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS hour,

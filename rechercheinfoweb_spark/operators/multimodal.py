@@ -97,3 +97,32 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         fn, schema=schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for video/audio: one output row per sampled
+    timestamp — a 1→N mapInPandas, which is the batch shape a real
+    pyav frame sampler needs (decode stub: features are a
+    deterministic function of (payload, frame_ts))."""
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", IntegerType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ])
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {"media_id": [], "frame_ts_ms": [], "features": []}
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["meta_duration_ms"]):
+                for ts in range(0, int(dur or 0) + 1, every_ms):
+                    out["media_id"].append(mid)
+                    out["frame_ts_ms"].append(ts)
+                    out["features"].append(_fake_decode(
+                        bytes(payload) + ts.to_bytes(4, "big")).tolist())
+            yield pd.DataFrame(out)
+
+    return (media.where(F.col("kind").isin("video", "audio"))
+            .select("media_id", "payload", "meta_duration_ms")
+            .mapInPandas(fn, schema=schema))

@@ -108,3 +108,56 @@ def lsh_ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     cands = (buckets.where(cond)
              .select(id_col, vec_col).dropDuplicates([id_col]))
     return cosine_topk(cands, query_vec, k, id_col, vec_col, round_to)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.15,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             round_to: int = 6) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold).  O(n²) dot products — the correctness
+    baseline for bounded sets; use the LSH variant at scale."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.greatest(_norm(F.col("va")), F.lit(1e-12))
+           * F.greatest(_norm(F.col("vb")), F.lit(1e-12))), round_to)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
+def embedding_near_dup_pairs_lsh(emb: DataFrame,
+                                 threshold: float = 0.15,
+                                 dim: int | None = None,
+                                 n_planes: int = 6, n_tables: int = 8,
+                                 seed: int = 7,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 round_to: int = 6) -> DataFrame:
+    """Scale path: candidates must share an LSH bucket in some table
+    (bucket-join — each bucket's pair work is local), then exact
+    cosine filter.  Misses pairs whose signatures differ in every
+    table; recall rises with n_tables / falls with n_planes."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    buckets = lsh_bucket_ids(emb, dim, n_planes, n_tables, seed,
+                             id_col, vec_col)
+    a = buckets.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"),
+                       "table_id", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"),
+                       "table_id", "bucket")
+    cand = (a.join(b, ["table_id", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.greatest(_norm(F.col("va")), F.lit(1e-12))
+           * F.greatest(_norm(F.col("vb")), F.lit(1e-12))), round_to)
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
