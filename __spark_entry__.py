@@ -284,6 +284,40 @@ def _q_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _q_value_percentiles(spark, sf_dir):
+    """A8 analog (latency histogram, server.go:59-60,184-189):
+    exact percentiles of a metric column per event_type.  Exact
+    `percentile` matches DuckDB's quantile_cont; at 10^12 rows swap
+    for percentile_approx (t-digest, bounded memory)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.expr(f"percentile(value, {p})"), 6)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)])
+            .orderBy("event_type"))
+
+
+def _q_heaps_curve(spark, sf_dir):
+    """V4 (Heaps-law plot, main.go:72-108): vocabulary-vs-tokens
+    growth over doc-id prefixes.  Per-term min doc_id + per-doc token
+    counts aggregate once; the 10-point grid joins against those tiny
+    aggregates, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    grid = spark.range(1, 11).select(
+        (F.col("id") * F.lit(n) / 10).cast("long").alias("prefix"))
+    toks = _term_rows(docs)
+    term_min = toks.groupBy("term").agg(F.min("doc_id").alias("m"))
+    doc_tok = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    vocab = (grid.join(term_min, term_min["m"] <= F.col("prefix"))
+             .groupBy("prefix").agg(F.count("*").alias("vocabulary")))
+    tokens = (grid.join(doc_tok, doc_tok["doc_id"] <= F.col("prefix"))
+              .groupBy("prefix").agg(F.sum("nt").alias("n_tokens")))
+    return (vocab.join(tokens, "prefix")
+            .select("prefix", "n_tokens", "vocabulary")
+            .orderBy("prefix"))
+
+
 def _q_pr_curve(spark, sf_dir):
     """Eval-harness V1 (SURVEY §2.6) as a contract query: rank every
     doc by BM25 for the fixed query; qrels = docs containing all
@@ -374,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hourly": _q_events_hourly,
         "ev_sessionize": _q_sessionize,
         "ev_pr_curve": _q_pr_curve,
+        "ev_value_percentiles": _q_value_percentiles,
+        "ft_heaps_curve": _q_heaps_curve,
         "ix_engine_bm25_topk": _q_engine_bm25,
     }
 
@@ -570,6 +606,28 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM embeddings e, q, qn
             ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+        "ev_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "ft_heaps_curve": f"""
+            WITH n AS (SELECT count(*) AS n_docs FROM documents),
+                 grid AS (SELECT CAST(g * n.n_docs / 10 AS BIGINT)
+                              AS prefix
+                          FROM generate_series(1, 10) AS t(g), n),
+                 toks AS ({_SQL_TOKS_NE}),
+                 term_min AS (SELECT term, min(doc_id) AS m FROM toks
+                              GROUP BY term),
+                 doc_tok AS (SELECT doc_id, count(*) AS nt FROM toks
+                             GROUP BY doc_id)
+            SELECT g.prefix,
+                   (SELECT sum(nt) FROM doc_tok d
+                    WHERE d.doc_id <= g.prefix) AS n_tokens,
+                   (SELECT count(*) FROM term_min t
+                    WHERE t.m <= g.prefix) AS vocabulary
+            FROM grid g ORDER BY g.prefix""",
         "dd_embed_near_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id < {PAIR_DOC_LIMIT})
