@@ -79,11 +79,16 @@ TERM_ROWS_SCHEMA = StructType([
     StructField("tf", LongType(), False),
     StructField("dl", LongType(), False),
     StructField("max_tf", LongType(), False),
-    StructField("n_raw", LongType(), False),
-    # carried only on the per-doc sentinel row (term='') so the docs
-    # table needs no join back to the staged input
-    StructField("url", StringType(), True),
+])
+
+DOC_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("chunk", IntegerType(), False),
+    StructField("url", StringType(), False),
     StructField("lang", StringType(), True),
+    StructField("dl", LongType(), False),
+    StructField("max_tf", LongType(), False),
+    StructField("n_raw", LongType(), False),
 ])
 
 SEGMENT_SCHEMA = StructType([
@@ -136,36 +141,30 @@ class BuildResult:
     resumed_stages: list = field(default_factory=list)
 
 
-def _tokenize_counts_kernel(stopwords: frozenset[str], block_rows: int = 4096):
-    """mapInPandas kernel: (doc_id, chunk, url, lang, text) →
-    per-(doc, term) tf rows plus one stats sentinel row per doc
-    (term='', carrying url/lang)."""
+def _tokenize_counts_kernel(stopwords: frozenset[str],
+                            block_rows: int = 65536):
+    """mapInPandas kernel: (doc_id, chunk, text) → per-(doc, term)
+    tf rows — the inverted-index transpose feed.
 
-    cols = ("doc_id", "chunk", "term", "tf", "dl", "max_tf", "n_raw",
-            "url", "lang")
+    Tokenize compute is ~0.2 ms/doc; the expensive part of stage 1
+    is moving the ~140 term rows per doc through Arrow and the term
+    shuffle, so this kernel emits the minimal row (48B fixed + term)
+    in large frames (Arrow per-batch overhead amortized)."""
+
+    cols = ("doc_id", "chunk", "term", "tf", "dl", "max_tf")
 
     def fn(batches):
         import pandas as pd
         from collections import Counter
         for pdf in batches:
             out = {k: [] for k in cols}
-            for doc_id, chunk, url, lang, text in zip(
+            for doc_id, chunk, text in zip(
                     pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
-                    pdf["url"].tolist(), pdf["lang"].tolist(),
                     pdf["text"].tolist()):
-                raw = TOKEN_RE.findall(text or "")
-                counts = Counter(index_tokens_from_raw(raw, stopwords))
+                counts = Counter(index_tokens_from_raw(
+                    TOKEN_RE.findall(text or ""), stopwords))
                 dl = sum(counts.values())
                 max_tf = max(counts.values()) if counts else 0
-                out["doc_id"].append(doc_id)
-                out["chunk"].append(chunk)
-                out["term"].append("")
-                out["tf"].append(0)
-                out["dl"].append(dl)
-                out["max_tf"].append(max_tf)
-                out["n_raw"].append(len(raw))
-                out["url"].append(url)
-                out["lang"].append(lang)
                 for term, tf in counts.items():
                     out["doc_id"].append(doc_id)
                     out["chunk"].append(chunk)
@@ -173,14 +172,42 @@ def _tokenize_counts_kernel(stopwords: frozenset[str], block_rows: int = 4096):
                     out["tf"].append(tf)
                     out["dl"].append(dl)
                     out["max_tf"].append(max_tf)
-                    out["n_raw"].append(len(raw))
-                    out["url"].append(None)
-                    out["lang"].append(None)
                 if len(out["doc_id"]) >= block_rows:
                     yield pd.DataFrame(out)
                     out = {k: [] for k in cols}
             if out["doc_id"]:
                 yield pd.DataFrame(out)
+
+    return fn
+
+
+def _doc_stats_kernel(stopwords: frozenset[str]):
+    """mapInPandas kernel: (doc_id, chunk, url, lang, text) → ONE
+    stats row per doc (the docs dimension).  Runs tokenize a second
+    time instead of materializing the 140×-larger term-row stream —
+    recompute is ~50× cheaper than the extra write+read."""
+
+    def fn(batches):
+        import pandas as pd
+        from collections import Counter
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "chunk", "url", "lang",
+                                   "dl", "max_tf", "n_raw")}
+            for doc_id, chunk, url, lang, text in zip(
+                    pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
+                    pdf["url"].tolist(), pdf["lang"].tolist(),
+                    pdf["text"].tolist()):
+                raw = TOKEN_RE.findall(text or "")
+                counts = Counter(index_tokens_from_raw(raw, stopwords))
+                out["doc_id"].append(doc_id)
+                out["chunk"].append(chunk)
+                out["url"].append(url)
+                out["lang"].append(lang)
+                out["dl"].append(sum(counts.values()))
+                out["max_tf"].append(
+                    max(counts.values()) if counts else 0)
+                out["n_raw"].append(len(raw))
+            yield pd.DataFrame(out)
 
     return fn
 
@@ -459,30 +486,27 @@ def build_index(
         # maxPartitionBytes, so the scan would yield few tasks and the
         # tokenize kernel (the hottest op, SURVEY §6) would starve —
         # spread it across every core first
-        # Materialize the tokenize output to parquet instead of
-        # .persist(): the cache outgrows storage memory on larger
-        # corpora, partitions get evicted, and the (hottest) tokenize
-        # kernel silently re-runs for the second consumer — observed
-        # as superlinear build time.  Disk materialization is
-        # bounded-memory, column-pruned/predicate-pushed on re-read,
-        # and survives executor loss on a real cluster.
-        tr_path = os.path.join(paths.term_rows, f"group={group[0]:04d}")
-        (staged_g
-         .select("doc_id", "chunk", "url", "lang", "text")
-         .repartition(par, "doc_id")
-         .mapInPandas(_tokenize_counts_kernel(stopwords),
-                      schema=TERM_ROWS_SCHEMA)
-         .write.mode("overwrite").parquet(tr_path))
-        term_rows = spark.read.parquet(tr_path)
-        docs_g = (term_rows.where(F.col("term") == "")
-                  .select("doc_id", "chunk", "url", "lang",
-                          "dl", "max_tf", "n_raw"))
+        # Two independent single-pass jobs, both re-running the cheap
+        # tokenize (~0.2 ms/doc) rather than materializing or caching
+        # its 140-rows-per-doc output between consumers (a .persist()
+        # got evicted on large corpora and silently recomputed; an
+        # explicit parquet intermediate paid a 33M-row write + two
+        # reads — both slower than just tokenizing twice):
+        #   job 1: docs dimension, ONE row/doc through Arrow
+        #   job 2: term rows → (chunk, term) shuffle → packed blocks
+        docs_g = (staged_g
+                  .select("doc_id", "chunk", "url", "lang", "text")
+                  .repartition(par, "doc_id")
+                  .mapInPandas(_doc_stats_kernel(stopwords),
+                               schema=DOC_STATS_SCHEMA))
         (docs_g.write.partitionBy("chunk")
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite").parquet(paths.docs))
         segments_g = (
-            term_rows.where(F.col("term") != "")
-            .select("doc_id", "chunk", "term", "tf", "dl", "max_tf")
+            staged_g.select("doc_id", "chunk", "text")
+            .repartition(par, "doc_id")
+            .mapInPandas(_tokenize_counts_kernel(stopwords),
+                         schema=TERM_ROWS_SCHEMA)
             .groupBy("chunk", "term")
             .applyInPandas(_pack_segments_kernel(block_size),
                            schema=SEGMENT_SCHEMA)

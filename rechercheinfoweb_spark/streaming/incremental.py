@@ -38,8 +38,9 @@ from pyspark.sql.window import Window
 from ..functions import codec
 from ..functions.tokenizer import STOPWORDS
 from ..operators.index_build import (
-    SEGMENT_SCHEMA, TERM_ROWS_SCHEMA, IndexPaths, _pack_segments_kernel,
-    _tokenize_counts_kernel, finalize_index,
+    DOC_STATS_SCHEMA, SEGMENT_SCHEMA, TERM_ROWS_SCHEMA, IndexPaths,
+    _doc_stats_kernel, _pack_segments_kernel, _tokenize_counts_kernel,
+    finalize_index,
 )
 from ..plans.checkpoints import read_manifest, write_manifest
 
@@ -84,26 +85,25 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
               .select("doc_id", "chunk", "url", "text", "lang"))
 
     par = spark.sparkContext.defaultParallelism
-    tr_path = os.path.join(paths.term_rows, f"stream={next_chunk:04d}")
+    staged = staged.persist()  # micro-batch sized: safe to cache
     (staged.select("doc_id", "chunk", "url", "lang", "text")
      .repartition(par, "doc_id")
-     .mapInPandas(_tokenize_counts_kernel(stopwords),
-                  schema=TERM_ROWS_SCHEMA)
-     .write.mode("overwrite").parquet(tr_path))
-    term_rows = spark.read.parquet(tr_path)
-    (term_rows.where(F.col("term") == "")
-     .select("doc_id", "chunk", "url", "lang", "dl", "max_tf", "n_raw")
+     .mapInPandas(_doc_stats_kernel(stopwords),
+                  schema=DOC_STATS_SCHEMA)
      .write.partitionBy("chunk")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.docs))
-    (term_rows.where(F.col("term") != "")
-     .select("doc_id", "chunk", "term", "tf", "dl", "max_tf")
+    (staged.select("doc_id", "chunk", "text")
+     .repartition(par, "doc_id")
+     .mapInPandas(_tokenize_counts_kernel(stopwords),
+                  schema=TERM_ROWS_SCHEMA)
      .groupBy("chunk", "term")
      .applyInPandas(_pack_segments_kernel(block_size),
                     schema=SEGMENT_SCHEMA)
      .write.partitionBy("chunk")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.segments))
+    staged.unpersist()
 
     n_batch = spark.read.parquet(
         os.path.join(paths.docs, f"chunk={next_chunk}")).count()

@@ -1,0 +1,43 @@
+"""Physical-plan regression tests (SURVEY.md §4): the properties
+that make the engine scale must be visible in the executed plan, not
+assumed — partition pruning on bucket/chunk, term predicate pushdown
+to the parquet scan, column-pruned ReadSchema, broadcast of the
+k-row side of the result-projection join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rechercheinfoweb_spark.operators.query_vector import vector_topk
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_and_pushes(reader):
+    plan = _plan(reader.postings_for(["search", "engine"]))
+    assert "PartitionFilters: [bucket" in plan
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_staged_scan_prunes_chunks_and_columns(spark, index_dir):
+    df = (spark.read.parquet(f"{index_dir}/staged")
+          .where(F.col("chunk").isin([0, 1]))
+          .select("doc_id", "text"))
+    plan = _plan(df)
+    assert "PartitionFilters: [chunk" in plan
+    # column pruning: url/lang must not be read
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "url" not in read_schema and "lang" not in read_schema
+
+
+def test_topk_url_join_broadcasts_small_side(spark, reader):
+    df = vector_topk(spark, reader, "search engine", "bm25", k=10,
+                     with_urls=True)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # docs side reads only (doc_id, url) + partition column
+    docs_scan = [ln for ln in plan.splitlines()
+                 if "docs/chunk=" in ln and "FileScan" in ln]
+    assert docs_scan and "text" not in docs_scan[0]
