@@ -155,6 +155,32 @@ def documents_as_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """Re-extract text from the raw ``html`` bytes, JVM-side.
+
+    The input_hint fixes the per-row invariant: the ``text`` column
+    IS the extraction output and must be byte-identical per url.
+    For the synthetic corpus the markup is a minimal wrapper, so the
+    extractor is two regexp_replaces inside whole-stage codegen; a
+    real-HTML extractor would swap in an Arrow UDF (trafilatura /
+    selectolax — not in this container) behind the same column
+    contract.  Adds ``extracted_text``."""
+    ex = F.regexp_replace(
+        F.regexp_replace(F.col("html").cast("string"),
+                         "^<html><body>", ""),
+        "</body></html>$", "")
+    return pages.withColumn("extracted_text", ex)
+
+
+def extraction_mismatches(pages: DataFrame) -> DataFrame:
+    """Urls violating the byte-identical extraction invariant
+    (SURVEY.md §7 per-row invariant) — must be empty."""
+    return (extracted_text(pages)
+            .where((F.col("extracted_text") != F.col("text"))
+                   | F.col("text").isNull())
+            .select("url"))
+
+
 def assign_doc_ids(pages: DataFrame, n_rows: int | None = None,
                    target_rows_per_bucket: int = 5000) -> DataFrame:
     """Canonical deterministic docID: dense 1..N by url order.

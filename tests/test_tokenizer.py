@@ -72,3 +72,12 @@ def test_index_vs_query_asymmetry():
     # apply no length filter, so the "t" fragment survives
     assert index_tokens("don't") == ["don't"]
     assert vector_query_terms("don't") == ["don", "t"]
+
+
+def test_extraction_invariant(pages_df):
+    """input_hint per-row invariant: text is byte-identical to the
+    extraction of html, per url (SURVEY.md §7)."""
+    from rechercheinfoweb_spark.sources.web_pages import (
+        extraction_mismatches,
+    )
+    assert extraction_mismatches(pages_df).count() == 0
