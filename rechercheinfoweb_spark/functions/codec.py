@@ -42,11 +42,15 @@ N_WEIGHTS = 4  # w_raw, w_norm, w_half, bm25
 W_RAW, W_NORM, W_HALF, W_BM25 = range(4)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints, vectorized."""
+def encode_varints_ex(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array of non-negative ints, vectorized.
+
+    Returns (buffer, byte-end offset per value) — the offsets let a
+    block packer slice one whole-list encode into per-block payloads
+    instead of re-encoding every block."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for k in range(1, 10):
         nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
@@ -60,7 +64,11 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[starts[mask] + j] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    return encode_varints_ex(values)[0]
 
 
 def decode_varints(buf, count: int, offset: int = 0
@@ -171,11 +179,36 @@ def pack_segment_postings(doc_ids, tfs, dls, max_tfs,
 
 def pack_final_postings(doc_ids, tfs, weights,
                         block_size: int = DEFAULT_BLOCK) -> list[dict]:
+    """Vectorized across blocks: one whole-list varint encode per
+    section (deltas reset at block starts), per-block payloads are
+    byte slices; block maxima via maximum.reduceat.  Byte-identical
+    to per-block pack_final_block output."""
     ids = np.asarray(doc_ids, dtype=np.int64)
     tf = np.asarray(tfs, dtype=np.int64)
-    w = np.asarray(weights, dtype=np.float64)
-    return _block_rows(
-        ids, tf, block_size,
-        lambda lo, hi: pack_final_block(ids[lo:hi], tf[lo:hi], w[lo:hi]),
-        lambda lo, hi: w[lo:hi].max(axis=0),
-    )
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    n = ids.size
+    if n == 0:
+        return []
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    deltas = _deltas(ids)
+    deltas[starts] = ids[starts]  # each block's first id stored raw
+    id_buf, id_ends = encode_varints_ex(deltas)
+    tf_buf, tf_ends = encode_varints_ex(tf)
+    id_b = np.concatenate(([0], id_ends))
+    tf_b = np.concatenate(([0], tf_ends))
+    maxes = np.maximum.reduceat(w, starts, axis=0)
+    blocks = []
+    for bi, lo in enumerate(starts):
+        hi = min(int(lo) + block_size, n)
+        blocks.append({
+            "first_doc_id": int(ids[lo]),
+            "n": int(hi - lo),
+            "max_w_raw": float(maxes[bi, W_RAW]),
+            "max_w_norm": float(maxes[bi, W_NORM]),
+            "max_w_half": float(maxes[bi, W_HALF]),
+            "max_bm25": float(maxes[bi, W_BM25]),
+            "data": (id_buf[id_b[lo]:id_b[hi]]
+                     + tf_buf[tf_b[lo]:tf_b[hi]]
+                     + w[lo:hi].tobytes(order="F")),
+        })
+    return blocks

@@ -62,6 +62,12 @@ from ..sources.web_pages import assign_doc_ids
 # (v2: range chunking + chunk registry)
 INDEX_LAYOUT_VERSION = 2
 
+# Segment blocks are an intermediate (finalize concatenates them and
+# re-blocks at the query block size), so fine WAND granularity buys
+# nothing there while per-block numpy overhead dominates — use large
+# blocks, bounded only to keep parquet cells reasonable.
+SEGMENT_BLOCK = 65536
+
 BLOCK_TYPE = StructType([
     StructField("first_doc_id", LongType(), False),
     StructField("n", IntegerType(), False),
@@ -151,32 +157,42 @@ def _tokenize_counts_kernel(stopwords: frozenset[str],
     shuffle, so this kernel emits the minimal row (48B fixed + term)
     in large frames (Arrow per-batch overhead amortized)."""
 
-    cols = ("doc_id", "chunk", "term", "tf", "dl", "max_tf")
-
     def fn(batches):
         import pandas as pd
         from collections import Counter
+
+        def flush(terms, tfs, doc_meta):
+            meta = np.asarray(doc_meta, dtype=np.int64)
+            reps = meta[:, 4]
+            return pd.DataFrame({
+                "doc_id": np.repeat(meta[:, 0], reps),
+                "chunk": np.repeat(meta[:, 1], reps).astype(np.int32),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int64),
+                "dl": np.repeat(meta[:, 2], reps),
+                "max_tf": np.repeat(meta[:, 3], reps),
+            })
+
         for pdf in batches:
-            out = {k: [] for k in cols}
+            terms: list = []
+            tfs: list = []
+            doc_meta: list = []  # (doc_id, chunk, dl, max_tf, n_terms)
             for doc_id, chunk, text in zip(
                     pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
                     pdf["text"].tolist()):
                 counts = Counter(index_tokens_from_raw(
                     TOKEN_RE.findall(text or ""), stopwords))
-                dl = sum(counts.values())
-                max_tf = max(counts.values()) if counts else 0
-                for term, tf in counts.items():
-                    out["doc_id"].append(doc_id)
-                    out["chunk"].append(chunk)
-                    out["term"].append(term)
-                    out["tf"].append(tf)
-                    out["dl"].append(dl)
-                    out["max_tf"].append(max_tf)
-                if len(out["doc_id"]) >= block_rows:
-                    yield pd.DataFrame(out)
-                    out = {k: [] for k in cols}
-            if out["doc_id"]:
-                yield pd.DataFrame(out)
+                vals = counts.values()
+                terms.extend(counts.keys())
+                tfs.extend(vals)
+                doc_meta.append((doc_id, chunk, sum(vals),
+                                 max(vals) if counts else 0,
+                                 len(counts)))
+                if len(terms) >= block_rows:
+                    yield flush(terms, tfs, doc_meta)
+                    terms, tfs, doc_meta = [], [], []
+            if terms:
+                yield flush(terms, tfs, doc_meta)
 
     return fn
 
@@ -224,23 +240,36 @@ def index_tokens_from_raw(raw: list[str], stopwords: frozenset[str]
 
 
 def _pack_segments_kernel(block_size: int):
-    """applyInPandas kernel over a (chunk, term) group: that term's
-    (doc_id, tf, dl, max_tf) rows within the chunk → one segment row
-    with packed blocks."""
+    """applyInPandas kernel over a (chunk, term-BUCKET) group → one
+    segment row per term in the bucket.
+
+    Grouping by (chunk, term) directly costs a pandas round-trip per
+    term — ~0.5 ms x |vocab| x n_chunks dominates stage 1 and
+    explodes on realistic web vocabularies.  Grouping by the term's
+    postings bucket gives n_chunks x n_buckets LARGE groups; term
+    boundaries are then numpy slices on the sorted group."""
 
     def fn(pdf):
         import pandas as pd
-        pdf = pdf.sort_values("doc_id")
-        blocks = codec.pack_segment_postings(
-            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(), pdf["max_tf"].to_numpy(),
-            block_size=block_size)
-        return pd.DataFrame({
-            "term": [pdf["term"].iloc[0]],
-            "chunk": [int(pdf["chunk"].iloc[0])],
-            "df_part": [len(pdf)],
-            "blocks": [blocks],
-        })
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        mtfs = pdf["max_tf"].to_numpy()
+        chunk = int(pdf["chunk"].iloc[0])
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, terms.size)
+        out = {"term": [], "chunk": [], "df_part": [], "blocks": []}
+        for i, term in enumerate(uniq):
+            lo, hi = bounds[i], bounds[i + 1]
+            out["term"].append(term)
+            out["chunk"].append(chunk)
+            out["df_part"].append(int(hi - lo))
+            out["blocks"].append(codec.pack_segment_postings(
+                ids[lo:hi], tfs[lo:hi], dls[lo:hi], mtfs[lo:hi],
+                block_size=block_size))
+        return pd.DataFrame(out)
 
     return fn
 
@@ -507,8 +536,10 @@ def build_index(
             .repartition(par, "doc_id")
             .mapInPandas(_tokenize_counts_kernel(stopwords),
                          schema=TERM_ROWS_SCHEMA)
-            .groupBy("chunk", "term")
-            .applyInPandas(_pack_segments_kernel(block_size),
+            .withColumn("tbucket",
+                        term_bucket(F.col("term"), n_buckets))
+            .groupBy("chunk", "tbucket")
+            .applyInPandas(_pack_segments_kernel(SEGMENT_BLOCK),
                            schema=SEGMENT_SCHEMA)
         )
         (segments_g.write.partitionBy("chunk")

@@ -38,9 +38,10 @@ from pyspark.sql.window import Window
 from ..functions import codec
 from ..functions.tokenizer import STOPWORDS
 from ..operators.index_build import (
-    DOC_STATS_SCHEMA, SEGMENT_SCHEMA, TERM_ROWS_SCHEMA, IndexPaths,
+    DOC_STATS_SCHEMA, SEGMENT_BLOCK, SEGMENT_SCHEMA, TERM_ROWS_SCHEMA,
+    IndexPaths,
     _doc_stats_kernel, _pack_segments_kernel, _tokenize_counts_kernel,
-    finalize_index,
+    finalize_index, term_bucket,
 )
 from ..plans.checkpoints import read_manifest, write_manifest
 
@@ -97,8 +98,9 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
      .repartition(par, "doc_id")
      .mapInPandas(_tokenize_counts_kernel(stopwords),
                   schema=TERM_ROWS_SCHEMA)
-     .groupBy("chunk", "term")
-     .applyInPandas(_pack_segments_kernel(block_size),
+     .withColumn("tbucket", term_bucket(F.col("term"), 32))
+     .groupBy("chunk", "tbucket")
+     .applyInPandas(_pack_segments_kernel(SEGMENT_BLOCK),
                     schema=SEGMENT_SCHEMA)
      .write.partitionBy("chunk")
      .option("partitionOverwriteMode", "dynamic")
