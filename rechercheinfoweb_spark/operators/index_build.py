@@ -59,8 +59,9 @@ from ..plans.checkpoints import (
 from ..sources.web_pages import assign_doc_ids
 
 # bump when the on-disk index layout changes incompatibly
-# (v2: range chunking + chunk registry)
-INDEX_LAYOUT_VERSION = 2
+# (v2: range chunking + chunk registry; v3: url_map replaces the
+# staged corpus copy)
+INDEX_LAYOUT_VERSION = 3
 
 # Segment blocks are an intermediate (finalize concatenates them and
 # re-blocks at the query block size), so fine WAND granularity buys
@@ -119,7 +120,7 @@ class IndexPaths:
     out_dir: str
 
     @property
-    def staged(self) -> str: return os.path.join(self.out_dir, "staged")
+    def url_map(self) -> str: return os.path.join(self.out_dir, "url_map")
     @property
     def docs(self) -> str: return os.path.join(self.out_dir, "docs")
     @property
@@ -448,40 +449,49 @@ def build_index(
     fingerprint = {"n_rows": fp_row["c"],
                    "url_hash_xor": str(fp_row["h"]),
                    "layout": INDEX_LAYOUT_VERSION}
+    n_in = int(fp_row["c"])
     if resume and stage_complete(out_dir, "stage0", fingerprint):
         resumed.append("stage0")
         n_docs = read_manifest(out_dir, "stage0")["n_docs"]
     else:
         ts = time.time()
-        # chunks are CONTIGUOUS doc-id ranges (not doc_id % n_chunks):
-        # query kernels then map ids to dense per-shard positions as
-        # id - chunk_base, and a streaming micro-batch can append
-        # itself as simply "the next range" (streaming/incremental.py)
-        n_in = int(fp_row["c"])
-        staged = assign_doc_ids(pages, n_rows=n_in).withColumn(
-            "chunk", (((F.col("doc_id") - 1) * n_chunks)
-                      / F.lit(max(n_in, 1))).cast("int")
-        ).select("doc_id", "chunk", "url", "text", "lang")
-        staged.write.partitionBy("chunk").mode("overwrite").parquet(
-            paths.staged)
-        # chunk registry: (chunk, min_id, n_docs) — the source of
-        # truth for shard→id-range mapping at query time and for
-        # which chunk dirs exist (streaming appends extend it)
-        (spark.read.parquet(paths.staged)
-         .groupBy("chunk")
-         .agg(F.min("doc_id").alias("min_id"),
-              F.count("*").alias("n_docs"))
+        # Stage 0 materializes ONLY the url->(doc_id, chunk) map —
+        # never a copy of the corpus (an earlier design rewrote all
+        # pages partitioned by chunk; that write was the largest
+        # poorly-scaling cost of the whole build).  Chunks are
+        # CONTIGUOUS doc-id ranges (query kernels map ids to dense
+        # shard positions as id - chunk_base, and a streaming
+        # micro-batch appends itself as simply "the next range"),
+        # computed with exact integer DIV so the driver-side
+        # closed-form registry below matches per-row assignment at
+        # any magnitude.
+        ids_map = assign_doc_ids(
+            pages.select("url"), n_rows=n_in
+        ).withColumn(
+            "chunk", F.expr(f"CAST(((doc_id - 1) * {n_chunks}) "
+                            f"DIV {max(n_in, 1)} AS INT)"))
+        (ids_map.repartition(max(1, n_in // 2_000_000 + 1))
+         .write.mode("overwrite").parquet(paths.url_map))
+        # chunk registry in closed form (no job): chunk(d) =
+        # (d-1)*k DIV n  =>  min_id(c) = ceil(c*n/k) + 1
+        k = n_chunks
+        bounds = [(c * n_in + k - 1) // k + 1 for c in range(k)]
+        bounds.append(n_in + 1)
+        reg = [(c, bounds[c], bounds[c + 1] - bounds[c])
+               for c in range(k) if bounds[c + 1] > bounds[c]]
+        (spark.createDataFrame(reg,
+                               "chunk int, min_id long, n_docs long")
          .coalesce(1).write.mode("overwrite").parquet(paths.chunks))
         # row count is already pinned by the input fingerprint — no
         # verification re-scan (assign_doc_ids is row-preserving)
-        n_docs = int(fp_row["c"])
+        n_docs = n_in
         stage_secs["stage0"] = time.time() - ts
         write_manifest(out_dir, "stage0", {
             "fingerprint": fingerprint, "n_docs": n_docs,
-            "n_chunks": n_chunks, "output": paths.staged,
+            "n_chunks": n_chunks, "output": paths.url_map,
             "wall_secs": stage_secs["stage0"],
             "lineage": {"stage": "stage0", "input": "web_pages",
-                        "op": "assign_doc_ids+chunk"},
+                        "op": "assign_doc_ids+chunk-registry"},
         })
 
     # ---- stage 1: tokenize → segment blocks, per-chunk resumable ----
@@ -505,7 +515,12 @@ def build_index(
             missing.append(c)
     batch = 1 if fail_after_chunk is not None else (chunk_batch or
                                                     len(missing) or 1)
-    staged_all = spark.read.parquet(paths.staged)
+    # attach (doc_id, chunk) by joining the small url map back to the
+    # input — the corpus itself is never copied.  The map broadcasts
+    # at sandbox scale; at 10^12 docs both sides would be bucketed by
+    # url so this is a shuffle-free bucket join instead.
+    ids_map = spark.read.parquet(paths.url_map)
+    staged_all = pages.join(F.broadcast(ids_map), "url")
     par = spark.sparkContext.defaultParallelism
     for gi in range(0, len(missing), batch):
         group = missing[gi:gi + batch]
@@ -560,7 +575,7 @@ def build_index(
                 "outputs": [os.path.join(paths.segments, f"chunk={c}"),
                             os.path.join(paths.docs, f"chunk={c}")],
                 "lineage": {"stage": "chunk", "chunk": c,
-                            "input": paths.staged,
+                            "input": "web_pages+url_map",
                             "op": "tokenize+count+segment-pack",
                             "block_size": block_size,
                             "batched_with": group},

@@ -146,9 +146,12 @@ def main() -> int:
         subprocess.run(["sync"], check=False)
         time.sleep(3)
         if kind == "executors":
-            # real multi-executor JVMs; no pinning (each executor is
-            # its own process with exec_cores task threads)
-            cmd = [sys.executable, os.path.abspath(__file__),
+            # real multi-executor JVMs, whole tree pinned to
+            # executors x cores CPUs so the small config cannot
+            # borrow idle cores for its Arrow workers / driver
+            cpus = n * args.executor_cores
+            cmd = ["taskset", "-c", f"0-{cpus - 1}",
+                   sys.executable, os.path.abspath(__file__),
                    "--child-executors", str(n),
                    "--executor-cores", str(args.executor_cores),
                    "--corpus", corpus, "--n-chunks", str(args.n_chunks)]

@@ -21,15 +21,19 @@ def test_postings_scan_prunes_and_pushes(reader):
     assert "PushedFilters: [In(term" in plan
 
 
-def test_staged_scan_prunes_chunks_and_columns(spark, index_dir):
-    df = (spark.read.parquet(f"{index_dir}/staged")
-          .where(F.col("chunk").isin([0, 1]))
-          .select("doc_id", "text"))
+def test_stage1_input_prunes_html_and_broadcasts_map(
+        spark, pages_df, index_dir, tmp_path_factory):
+    """The stage-1 shape: corpus ⋈ url_map must broadcast the small
+    map and must never read the fat ``html`` column (parquet-backed
+    corpus, like the real build input)."""
+    src = str(tmp_path_factory.mktemp("plan_pages"))
+    pages_df.write.mode("overwrite").parquet(src)
+    ids_map = spark.read.parquet(f"{index_dir}/url_map")
+    df = (spark.read.parquet(src).join(F.broadcast(ids_map), "url")
+          .select("doc_id", "chunk", "text"))
     plan = _plan(df)
-    assert "PartitionFilters: [chunk" in plan
-    # column pruning: url/lang must not be read
-    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
-    assert "url" not in read_schema and "lang" not in read_schema
+    assert "BroadcastHashJoin" in plan
+    assert "html" not in plan
 
 
 def test_topk_url_join_broadcasts_small_side(spark, reader):
