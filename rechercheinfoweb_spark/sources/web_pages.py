@@ -103,8 +103,9 @@ def generate_rows(n_docs: int, seed: int = 42) -> list[tuple]:
 
 
 def synthetic_web_pages(spark: SparkSession, n_docs: int,
-                        seed: int = 42, partitions: int | None = None
-                        ) -> DataFrame:
+                        seed: int = 42, partitions: int | None = None,
+                        tokens_lo: int = 20, tokens_hi: int = 500,
+                        vocab_size: int = 2000) -> DataFrame:
     """Deterministic synthetic corpus as a DataFrame.
 
     Generation is distributed for large *n_docs*: each Spark task
@@ -117,14 +118,14 @@ def synthetic_web_pages(spark: SparkSession, n_docs: int,
 
     def gen(batches):
         import pandas as pd
-        vocab, probs = _vocab_and_probs()
+        vocab, probs = _vocab_and_probs(vocab_size)
         vocab_arr = np.array(vocab, dtype=object)
         for pdf in batches:
             out = {"url": [], "warc_ts": [], "html": [], "text": [],
                    "lang": []}
             for i in pdf["id"].tolist():
                 rng = np.random.default_rng(seed * 1_000_003 + i)
-                length = int(rng.integers(20, 500))
+                length = int(rng.integers(tokens_lo, tokens_hi))
                 words = list(vocab_arr[rng.choice(
                     len(vocab_arr), size=length, p=probs)])
                 for h in _HOT_TERMS:

@@ -85,8 +85,10 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
     spark.stop()
 
 
-def gen_corpus(n_docs: int) -> str:
-    marker = os.path.join(CORPUS_DIR, f"_N{n_docs}")
+def gen_corpus(n_docs: int, tokens_lo: int, tokens_hi: int,
+               vocab_size: int) -> str:
+    marker = os.path.join(
+        CORPUS_DIR, f"_N{n_docs}_L{tokens_lo}_{tokens_hi}_V{vocab_size}")
     if os.path.exists(marker):
         return CORPUS_DIR
     from rechercheinfoweb_spark.session import get_spark
@@ -95,8 +97,9 @@ def gen_corpus(n_docs: int) -> str:
     shutil.rmtree(CORPUS_DIR, ignore_errors=True)
     spark = get_spark(app_name="riw-scaling-gen")
     spark.sparkContext.setLogLevel("ERROR")
-    synthetic_web_pages(spark, n_docs).write.mode("overwrite").parquet(
-        CORPUS_DIR)
+    synthetic_web_pages(spark, n_docs, tokens_lo=tokens_lo,
+                        tokens_hi=tokens_hi, vocab_size=vocab_size
+                        ).write.mode("overwrite").parquet(CORPUS_DIR)
     spark.stop()
     open(marker, "w").close()
     return CORPUS_DIR
@@ -104,7 +107,14 @@ def gen_corpus(n_docs: int) -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=240_000)
+    ap.add_argument("--n-docs", type=int, default=100_000)
+    # Common-Crawl-style pages average thousands of tokens; the
+    # default scaling corpus uses page-sized docs (mean ~2k tokens)
+    ap.add_argument("--doc-tokens", default="160,4000",
+                    help="lo,hi token-count range per doc")
+    ap.add_argument("--vocab-size", type=int, default=50_000,
+                    help="synthetic vocabulary size (web corpora "
+                         "have 1e5-1e6 word vocabularies)")
     ap.add_argument("--cores", default="2,8",
                     help="comma list of local[N] sizes (CPU-pinned)")
     ap.add_argument("--executors", default=None,
@@ -129,7 +139,8 @@ def main() -> int:
               exec_cores=args.executor_cores)
         return 0
 
-    corpus = gen_corpus(args.n_docs)
+    lo, hi = (int(x) for x in args.doc_tokens.split(","))
+    corpus = gen_corpus(args.n_docs, lo, hi, args.vocab_size)
     results = []
     if args.executors:
         runs = [("executors", int(e)) for e in args.executors.split(",")]
@@ -189,6 +200,7 @@ def main() -> int:
         "unit": unit,
         "runs": results,
         "n_docs": args.n_docs,
+        "doc_tokens": args.doc_tokens,
     }
     print(json.dumps(summary))
 
@@ -215,8 +227,9 @@ def update_baseline(summary: dict) -> None:
         "## Measured scaling (this sandbox)",
         "",
         f"Same index-build job, same {summary['n_docs']:,}-doc parquet "
-        "corpus, fresh session per run, engine shipped as a zip via "
-        "the --py-files path (`scripts/scaling_run.py`):",
+        f"corpus (page-sized docs, {summary.get('doc_tokens', '?')} "
+        "tokens each), fresh session per run, engine shipped as a zip "
+        "via the --py-files path (`scripts/scaling_run.py`):",
         "",
         "| setup | build secs | docs/sec |",
         "|---|---|---|",
