@@ -304,8 +304,10 @@ def _q_heaps_curve(spark, sf_dir):
     aggregates, never the corpus."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
+    # integer DIV on both sides: float-divide-then-cast truncates in
+    # Spark but rounds in DuckDB whenever n is not divisible by 10
     grid = spark.range(1, 11).select(
-        (F.col("id") * F.lit(n) / 10).cast("long").alias("prefix"))
+        F.expr(f"(id * {n}) DIV 10").alias("prefix"))
     toks = _term_rows(docs)
     term_min = toks.groupBy("term").agg(F.min("doc_id").alias("m"))
     doc_tok = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
@@ -418,8 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    # CAST: DuckDB sum(int) is HUGEINT — hash-mismatches Spark's LONG
     langs_hits = ",\n        ".join(
-        "sum(CASE WHEN lower(term) IN ({}) THEN 1 ELSE 0 END) AS hits_{}"
+        "CAST(sum(CASE WHEN lower(term) IN ({}) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS hits_{}"
         .format(", ".join(f"'{w}'" for w in ws), la)
         for la, ws in LANG_MARKERS.items())
     best = ("greatest(" + ", ".join(f"hits_{la}" for la in LANG_MARKERS)
@@ -614,8 +618,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type""",
         "ft_heaps_curve": f"""
             WITH n AS (SELECT count(*) AS n_docs FROM documents),
-                 grid AS (SELECT CAST(g * n.n_docs / 10 AS BIGINT)
-                              AS prefix
+                 grid AS (SELECT (g * n.n_docs) // 10 AS prefix
                           FROM generate_series(1, 10) AS t(g), n),
                  toks AS ({_SQL_TOKS_NE}),
                  term_min AS (SELECT term, min(doc_id) AS m FROM toks
@@ -623,8 +626,9 @@ def oracle_sql() -> dict[str, str]:
                  doc_tok AS (SELECT doc_id, count(*) AS nt FROM toks
                              GROUP BY doc_id)
             SELECT g.prefix,
-                   (SELECT sum(nt) FROM doc_tok d
-                    WHERE d.doc_id <= g.prefix) AS n_tokens,
+                   CAST((SELECT sum(nt) FROM doc_tok d
+                         WHERE d.doc_id <= g.prefix) AS BIGINT)
+                       AS n_tokens,
                    (SELECT count(*) FROM term_min t
                     WHERE t.m <= g.prefix) AS vocabulary
             FROM grid g ORDER BY g.prefix""",
@@ -701,7 +705,7 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY ts, event_id) > 1800
                           THEN 1 ELSE 0 END AS new_sess
               FROM events)
-            SELECT user_id, sum(new_sess) AS n_sessions,
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id""",
     }

@@ -25,19 +25,28 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 
 def canon(df):
-    """pandas DataFrame → canonical list of tuples."""
+    """pandas DataFrame → canonical list of tuples.
+
+    Type-TAGGED values: the driver's value hash is dtype-sensitive
+    (a DuckDB HUGEINT sum surfaces as float64 and hash-mismatches
+    Spark's int64 even when numerically equal — the round-1 failure
+    mode), so an int-valued float must NOT compare equal to an int
+    here either."""
     df = df[sorted(df.columns)]
 
     def c(v):
         if v is None:
             return None
+        if isinstance(v, bool):
+            return ("b", v)
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return round(v, 9)
+                return ("f", "nan")
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("i", v)
         if hasattr(v, "item"):
-            v = v.item()
-            return c(v) if isinstance(v, float) else v
+            return c(v.item())
         return v
 
     rows = [tuple(c(v) for v in row) for row in df.itertuples(index=False)]
