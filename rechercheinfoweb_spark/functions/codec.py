@@ -6,31 +6,35 @@ file (encoder.go:26-33).  We keep the delta+varint idea (it is what
 makes skip-pointer blocks cheap) but use standard LEB128 and let
 Parquet supply the outer compression (snappy/zstd table codec).
 
-Two block kinds share one struct schema
-(``first_doc_id long, n int, max_w_raw/max_w_norm/max_w_half/max_bm25
-double, data binary``):
+Layout v4 — ONE block kind, written once at build time and never
+rewritten (the round-1 layout stored four precomputed float64 weight
+planes per posting, which forced a full-index decode/re-encode in the
+finalize pass whenever global df/avgdl changed; that rewrite was the
+dominant serial cost at realistic vocabularies and made every
+streaming refresh a full-index rewrite):
 
-* **segment** blocks (per-chunk, pre-IDF — weights cannot be
-  finalized until global df/N/avgdl are known):
-      data = LEB128(delta doc_ids) ++ LEB128(tf)
-             ++ LEB128(dl) ++ LEB128(max_tf)
-  dl (per-doc post-filter length) and max_tf ride along per posting
-  so the finalize pass never joins back to the docs table.
-* **final** blocks (queryable index):
-      data = LEB128(delta doc_ids) ++ LEB128(tf)
-             ++ float64[n] w_raw ++ float64[n] w_norm
-             ++ float64[n] w_half ++ float64[n] bm25
+    data = LEB128(delta doc_ids, first id of each block stored raw)
+        ++ LEB128(tf)  ++ LEB128(dl)  ++ LEB128(max_tf)
 
-``first_doc_id`` is the skip pointer; the four block maxima drive
-block-max WAND pruning (north rule; absent in the reference, which
-full-sorts — templates/archi.html:38-39).  All encode/decode paths
-are numpy-vectorized — no per-element Python in the hot loop.
+tf/dl/max_tf are the *sufficient statistics*: every scheme weight
+(w_raw / w_norm / w_half / bm25 — reference trie.go:56-61 plus the
+north-rule BM25) is recomputed at query time through the single
+``scoring.posting_weights`` spec, so ranks and scores are bit-equal
+to a build-time-precomputed design by construction, while the index
+is ~4x smaller and global-statistic changes (new chunks appended)
+touch no posting bytes.
 
-Scale note: four float64 weights per posting mirrors the reference's
-3×float64-per-Ref layout (trie.go:56-61) and buys exact engine/oracle
-rank-identity; at 10^12 docs you would keep only tf (+ quantized
-block maxima) and recompute scores from (idf, dl) at query time — the
-segment layout already is that representation.
+Per-block metadata is *idf-independent* so it can also be written
+once: ``max_tf`` / ``min_dl`` / ``max_ratio`` (= max tf/doc-max-tf).
+``scoring.block_upper_bounds`` turns those plus query-time idf into
+per-scheme score upper bounds that drive block-max WAND pruning
+(north rule; absent in the reference, which full-sorts —
+templates/archi.html:38-39).  ``first_doc_id`` is the skip pointer;
+each block's delta chain restarts at its first id so blocks decode
+independently.
+
+All encode/decode paths are numpy-vectorized — no per-element Python
+in the hot loop.
 """
 
 from __future__ import annotations
@@ -38,14 +42,12 @@ from __future__ import annotations
 import numpy as np
 
 DEFAULT_BLOCK = 128
-N_WEIGHTS = 4  # w_raw, w_norm, w_half, bm25
-W_RAW, W_NORM, W_HALF, W_BM25 = range(4)
 
 
 def encode_varints_ex(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode an array of non-negative ints, vectorized.
 
-    Returns (buffer, byte-end offset per value) — the offsets let a
+    Returns (buffer, byte-end offset per value) — the offsets let the
     block packer slice one whole-list encode into per-block payloads
     instead of re-encoding every block."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -104,88 +106,18 @@ def _deltas(ids: np.ndarray) -> np.ndarray:
     return deltas
 
 
-def pack_segment_block(doc_ids, tfs, dls, max_tfs) -> bytes:
-    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    return b"".join([
-        encode_varints(_deltas(ids)),
-        encode_varints(np.asarray(tfs)),
-        encode_varints(np.asarray(dls)),
-        encode_varints(np.asarray(max_tfs)),
-    ])
+def pack_postings(doc_ids, tfs, dls, max_tfs,
+                  block_size: int = DEFAULT_BLOCK) -> list[dict]:
+    """One posting list (docID-sorted) → list of v4 block rows.
 
-
-def unpack_segment_block(data: bytes, n: int):
-    """→ (doc_ids, tfs, dls, max_tfs), all int64."""
-    deltas, off = decode_varints(data, n)
-    ids = np.cumsum(deltas.astype(np.int64))
-    tfs, off = decode_varints(data, n, off)
-    dls, off = decode_varints(data, n, off)
-    mtfs, _ = decode_varints(data, n, off)
-    return ids, tfs.astype(np.int64), dls.astype(np.int64), mtfs.astype(np.int64)
-
-
-def pack_final_block(doc_ids, tfs, weights: np.ndarray) -> bytes:
-    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    w = np.ascontiguousarray(weights, dtype=np.float64)
-    assert w.shape == (ids.size, N_WEIGHTS)
-    return b"".join([
-        encode_varints(_deltas(ids)),
-        encode_varints(np.asarray(tfs)),
-        w.tobytes(order="F"),
-    ])
-
-
-def unpack_final_block(data: bytes, n: int):
-    """→ (doc_ids int64, tfs int64, weights float64[n,4])."""
-    deltas, off = decode_varints(data, n)
-    ids = np.cumsum(deltas.astype(np.int64))
-    tfs, off = decode_varints(data, n, off)
-    w = np.frombuffer(data, dtype=np.float64, count=n * N_WEIGHTS,
-                      offset=off)
-    return ids, tfs.astype(np.int64), w.reshape((n, N_WEIGHTS), order="F")
-
-
-def _block_rows(ids, tfs, block_size, pack_one, maxes_fn):
-    blocks = []
-    for lo in range(0, ids.size, block_size):
-        hi = min(lo + block_size, ids.size)
-        maxes = maxes_fn(lo, hi)
-        blocks.append({
-            "first_doc_id": int(ids[lo]),
-            "n": int(hi - lo),
-            "max_w_raw": float(maxes[W_RAW]),
-            "max_w_norm": float(maxes[W_NORM]),
-            "max_w_half": float(maxes[W_HALF]),
-            "max_bm25": float(maxes[W_BM25]),
-            "data": pack_one(lo, hi),
-        })
-    return blocks
-
-
-def pack_segment_postings(doc_ids, tfs, dls, max_tfs,
-                          block_size: int = DEFAULT_BLOCK) -> list[dict]:
+    Vectorized across blocks: one whole-list varint encode per
+    section (delta chains reset at block starts so each block decodes
+    independently), per-block payloads are byte slices; block
+    metadata via maximum/minimum.reduceat."""
     ids = np.asarray(doc_ids, dtype=np.int64)
     tf = np.asarray(tfs, dtype=np.int64)
     dl = np.asarray(dls, dtype=np.int64)
     mtf = np.asarray(max_tfs, dtype=np.int64)
-    zero = np.zeros(N_WEIGHTS)
-    return _block_rows(
-        ids, tf, block_size,
-        lambda lo, hi: pack_segment_block(ids[lo:hi], tf[lo:hi],
-                                          dl[lo:hi], mtf[lo:hi]),
-        lambda lo, hi: zero,
-    )
-
-
-def pack_final_postings(doc_ids, tfs, weights,
-                        block_size: int = DEFAULT_BLOCK) -> list[dict]:
-    """Vectorized across blocks: one whole-list varint encode per
-    section (deltas reset at block starts), per-block payloads are
-    byte slices; block maxima via maximum.reduceat.  Byte-identical
-    to per-block pack_final_block output."""
-    ids = np.asarray(doc_ids, dtype=np.int64)
-    tf = np.asarray(tfs, dtype=np.int64)
-    w = np.ascontiguousarray(weights, dtype=np.float64)
     n = ids.size
     if n == 0:
         return []
@@ -194,21 +126,46 @@ def pack_final_postings(doc_ids, tfs, weights,
     deltas[starts] = ids[starts]  # each block's first id stored raw
     id_buf, id_ends = encode_varints_ex(deltas)
     tf_buf, tf_ends = encode_varints_ex(tf)
+    dl_buf, dl_ends = encode_varints_ex(dl)
+    mtf_buf, mtf_ends = encode_varints_ex(mtf)
     id_b = np.concatenate(([0], id_ends))
     tf_b = np.concatenate(([0], tf_ends))
-    maxes = np.maximum.reduceat(w, starts, axis=0)
+    dl_b = np.concatenate(([0], dl_ends))
+    mtf_b = np.concatenate(([0], mtf_ends))
+    max_tf_blk = np.maximum.reduceat(tf, starts)
+    min_dl_blk = np.minimum.reduceat(dl, starts)
+    # tf <= max_tf and max_tf >= 1 always, so the ratio is in (0, 1]
+    max_ratio_blk = np.maximum.reduceat(tf / mtf, starts)
     blocks = []
     for bi, lo in enumerate(starts):
         hi = min(int(lo) + block_size, n)
         blocks.append({
             "first_doc_id": int(ids[lo]),
             "n": int(hi - lo),
-            "max_w_raw": float(maxes[bi, W_RAW]),
-            "max_w_norm": float(maxes[bi, W_NORM]),
-            "max_w_half": float(maxes[bi, W_HALF]),
-            "max_bm25": float(maxes[bi, W_BM25]),
+            "max_tf": int(max_tf_blk[bi]),
+            "min_dl": int(min_dl_blk[bi]),
+            "max_ratio": float(max_ratio_blk[bi]),
             "data": (id_buf[id_b[lo]:id_b[hi]]
                      + tf_buf[tf_b[lo]:tf_b[hi]]
-                     + w[lo:hi].tobytes(order="F")),
+                     + dl_buf[dl_b[lo]:dl_b[hi]]
+                     + mtf_buf[mtf_b[lo]:mtf_b[hi]]),
         })
     return blocks
+
+
+def unpack_block_ids(data: bytes, n: int) -> np.ndarray:
+    """Decode only the docIDs of one block (WAND pass 1 — upper
+    bounds come from block metadata, no statistics decode)."""
+    deltas, _ = decode_varints(data, n)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def unpack_block(data: bytes, n: int):
+    """→ (doc_ids, tfs, dls, max_tfs), all int64."""
+    deltas, off = decode_varints(data, n)
+    ids = np.cumsum(deltas.astype(np.int64))
+    tfs, off = decode_varints(data, n, off)
+    dls, off = decode_varints(data, n, off)
+    mtfs, _ = decode_varints(data, n, off)
+    return (ids, tfs.astype(np.int64), dls.astype(np.int64),
+            mtfs.astype(np.int64))

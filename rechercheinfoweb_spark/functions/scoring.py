@@ -51,3 +51,27 @@ def posting_weights(tf, dl, max_tf, idf_val, bm25_idf_val, avgdl,
     denom = tf + k1 * (1.0 - b + b * (dl / np.float64(avgdl)))
     out[:, 3] = bm25_idf_val * (tf * (k1 + 1.0)) / denom
     return out
+
+
+def block_upper_bounds(max_tf, min_dl, max_ratio, idf_val,
+                       bm25_idf_val, avgdl,
+                       k1: float = K1, b: float = B) -> np.ndarray:
+    """(n_blocks,4) per-scheme upper bounds on any posting weight in
+    each block, from the layout-v4 idf-independent block metadata
+    (codec.pack_postings): block max tf, block min dl, block max
+    tf/doc-max-tf ratio.
+
+    Exact block maxima for raw/norm (monotonic in tf) and half
+    (linear in the ratio); for bm25 — increasing in tf, decreasing
+    in dl — pairing max_tf with min_dl gives a bound >= the true
+    maximum, so WAND pruning stays exact, merely a touch looser."""
+    mtf = np.asarray(max_tf, dtype=np.float64)
+    mdl = np.asarray(min_dl, dtype=np.float64)
+    mr = np.asarray(max_ratio, dtype=np.float64)
+    out = np.empty((mtf.size, 4), dtype=np.float64)
+    out[:, 0] = mtf * idf_val
+    out[:, 1] = (1.0 + np.log(mtf)) * idf_val
+    out[:, 2] = (0.5 + 0.5 * mr) * idf_val
+    denom = mtf + k1 * (1.0 - b + b * (mdl / np.float64(avgdl)))
+    out[:, 3] = bm25_idf_val * (mtf * (k1 + 1.0)) / denom
+    return out

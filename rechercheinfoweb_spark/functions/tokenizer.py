@@ -64,14 +64,23 @@ def raw_tokens(text: str) -> list[str]:
     return TOKEN_RE.findall(text)
 
 
-def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS) -> list[str]:
-    """Index-time pipeline: T1 charset → T4 len/stopword filter → T5 stem."""
+def index_tokens_from_raw(raw: list[str],
+                          stopwords: frozenset[str] = STOPWORDS
+                          ) -> list[str]:
+    """T4 len/stopword filter → T5 stem over pre-split charset tokens
+    (the build kernels split once with TOKEN_RE and reuse the raw
+    list for the Heaps count, so this is the shared back half)."""
     out = []
-    for tok in TOKEN_RE.findall(text):
+    for tok in raw:
         if len(tok) < MIN_TOKEN_LEN or tok in stopwords:
             continue
         out.append(stem(tok) if len(tok) >= STEM_MIN_LEN else tok)
     return out
+
+
+def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS) -> list[str]:
+    """Index-time pipeline: T1 charset → T4 len/stopword filter → T5 stem."""
+    return index_tokens_from_raw(TOKEN_RE.findall(text), stopwords)
 
 
 def vector_query_terms(

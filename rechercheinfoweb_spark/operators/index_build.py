@@ -7,40 +7,54 @@ encoder.go:23-42).  Our job re-expresses it as three resumable Spark
 stages over the ``web_pages`` input table:
 
 stage 0  **stage**     assign deterministic docIDs (url order), split
-                       into ``n_chunks`` doc partitions, snapshot as
-                       parquet partitioned by ``chunk``.
+                       into ``n_chunks`` doc ranges, write the
+                       url→(doc_id, chunk) map + chunk registry.
 stage 1  **chunk c**   (one per chunk, independently resumable)
                        tokenize+count via one Arrow kernel (no
                        explode/groupBy shuffle for per-doc counts —
                        docs never span partitions, so A1/A2/A3 are
                        map-side), then shuffle by ``term`` once and
-                       pack *segment* posting blocks (delta+varint
-                       docIDs, tf, dl, max_tf).  Writes
-                       ``segments/chunk=c`` + ``docs/chunk=c``.
-stage 2  **finalize**  global df/idf/avgdl (small aggregations),
-                       rewrite segment blocks into *final* blocks
-                       with the four precomputed weights + block-max
-                       metadata, write ``postings`` partitioned by
-                       ``bucket(term)`` + ``corpus_stats``.
+                       pack FINAL v4 posting blocks (delta+varint
+                       ids/tf/dl/max_tf + idf-independent block
+                       metadata — codec.pack_postings).  Writes
+                       ``postings/bucket=b/salt=c`` + ``docs/chunk=c``
+                       directly: the queryable index IS the stage-1
+                       output, immutable once written.
+stage 2  **finalize**  metadata only: global df per term (the
+                       ``dictionary`` table), corpus_stats
+                       (n_docs/avgdl/vocab/Heaps).  NO posting bytes
+                       are read or rewritten — scheme weights are
+                       computed at query time from the stored
+                       (tf, dl, max_tf) through the same
+                       ``scoring.posting_weights`` spec the oracle
+                       uses, so ranks/scores are unchanged by
+                       construction.  (Layout v3 stored 4 float64
+                       weight planes per posting and finalize decoded
+                       + re-encoded the whole index to stamp them in
+                       — the dominant serial cost at realistic
+                       vocabularies, and the reason streaming refresh
+                       was a full rewrite.  v4 makes refresh two tiny
+                       aggregations.)
 
 Skew: a df≈N hot term never concentrates — its postings are split
-across chunks by construction (salt = chunk id), and the final index
-keeps one row per (term, chunk), so no reducer ever sees a whole hot
+across chunks by construction (salt = chunk id), and the index keeps
+one row per (term, chunk), so no reducer ever sees a whole hot
 posting list.  This is the salted-key two-phase aggregation the north
 rule mandates; ``n_chunks`` is the salt fan-out knob.
 
 Scale notes: at 10^12 docs the same plan holds — stage 0 is the only
-global pass (two-phase zipWithIndex numbering, no single-partition
-sort); each chunk shuffles only its own doc range by term; finalize's
-df aggregation is |vocab|-sized, and its block rewrite is
-embarrassingly parallel (mapInPandas over (term, chunk) rows whose
-size is bounded by the chunk size).
+global pass (deterministic-boundary bucketed numbering, no
+single-partition sort); each chunk shuffles only its own doc range by
+term; finalize's df aggregation reads two narrow columns of the
+postings table (parquet column pruning skips the block bytes
+entirely) and is |vocab|-sized.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -52,7 +66,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec, scoring
-from ..functions.tokenizer import STOPWORDS, TOKEN_RE, index_tokens
+from ..functions.tokenizer import STOPWORDS, TOKEN_RE, index_tokens_from_raw
 from ..plans.checkpoints import (
     read_manifest, stage_complete, write_manifest,
 )
@@ -60,22 +74,21 @@ from ..sources.web_pages import assign_doc_ids
 
 # bump when the on-disk index layout changes incompatibly
 # (v2: range chunking + chunk registry; v3: url_map replaces the
-# staged corpus copy)
-INDEX_LAYOUT_VERSION = 3
+# staged corpus copy; v4: weightless final blocks written at stage 1,
+# dictionary table, registry as an atomically-replaced single file)
+INDEX_LAYOUT_VERSION = 4
 
-# Segment blocks are an intermediate (finalize concatenates them and
-# re-blocks at the query block size), so fine WAND granularity buys
-# nothing there while per-block numpy overhead dominates — use large
-# blocks, bounded only to keep parquet cells reasonable.
-SEGMENT_BLOCK = 65536
+# default chunking: bounds the dense per-shard score array a query
+# kernel allocates (DOCS_PER_CHUNK * 8 B ≈ 2 MB/task) and sets the
+# resume/partition-overwrite granularity
+DOCS_PER_CHUNK = 250_000
 
 BLOCK_TYPE = StructType([
     StructField("first_doc_id", LongType(), False),
     StructField("n", IntegerType(), False),
-    StructField("max_w_raw", DoubleType(), False),
-    StructField("max_w_norm", DoubleType(), False),
-    StructField("max_w_half", DoubleType(), False),
-    StructField("max_bm25", DoubleType(), False),
+    StructField("max_tf", LongType(), False),
+    StructField("min_dl", LongType(), False),
+    StructField("max_ratio", DoubleType(), False),
     StructField("data", BinaryType(), False),
 ])
 
@@ -98,19 +111,12 @@ DOC_STATS_SCHEMA = StructType([
     StructField("n_raw", LongType(), False),
 ])
 
-SEGMENT_SCHEMA = StructType([
-    StructField("term", StringType(), False),
-    StructField("chunk", IntegerType(), False),
-    StructField("df_part", LongType(), False),
-    StructField("blocks", ArrayType(BLOCK_TYPE), False),
-])
-
 POSTINGS_SCHEMA = StructType([
     StructField("term", StringType(), False),
+    StructField("bucket", IntegerType(), False),
     StructField("salt", IntegerType(), False),
-    StructField("df", LongType(), False),
-    StructField("idf", DoubleType(), False),
-    StructField("bm25_idf", DoubleType(), False),
+    StructField("df_part", LongType(), False),
+    StructField("min_doc_id", LongType(), False),
     StructField("blocks", ArrayType(BLOCK_TYPE), False),
 ])
 
@@ -124,15 +130,13 @@ class IndexPaths:
     @property
     def docs(self) -> str: return os.path.join(self.out_dir, "docs")
     @property
-    def segments(self) -> str: return os.path.join(self.out_dir, "segments")
-    @property
     def postings(self) -> str: return os.path.join(self.out_dir, "postings")
+    @property
+    def dictionary(self) -> str:
+        return os.path.join(self.out_dir, "dictionary")
     @property
     def corpus_stats(self) -> str:
         return os.path.join(self.out_dir, "corpus_stats")
-    @property
-    def term_rows(self) -> str:
-        return os.path.join(self.out_dir, "term_rows")
     @property
     def chunks(self) -> str:
         return os.path.join(self.out_dir, "chunks")
@@ -146,6 +150,41 @@ class BuildResult:
     docs_per_sec: float
     stage_secs: dict = field(default_factory=dict)
     resumed_stages: list = field(default_factory=list)
+
+
+# ---- chunk registry -------------------------------------------------
+# A single parquet FILE replaced atomically (tmp + os.replace), never
+# a Spark directory write: the registry is the index's commit point,
+# and a crash mid-delete-then-write of a directory could lose it
+# (observed failure mode for the streaming append).  On an object
+# store / real cluster this commit would be an Iceberg snapshot; the
+# atomic-rename file is the local-FS equivalent.
+
+def write_registry(path: str, rows: list[dict]) -> None:
+    """rows: [{chunk, min_id, n_docs, batch_id|None}] — atomic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):  # pre-v4 layout wrote a directory here
+        shutil.rmtree(path)
+    rows = sorted(rows, key=lambda r: r["chunk"])
+    table = pa.table({
+        "chunk": pa.array([r["chunk"] for r in rows], pa.int32()),
+        "min_id": pa.array([r["min_id"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "batch_id": pa.array([r.get("batch_id") for r in rows],
+                             pa.int64()),
+    })
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def read_registry(path: str) -> list[dict]:
+    import pyarrow.parquet as pq
+    if not os.path.exists(path):
+        return []
+    return sorted(pq.read_table(path).to_pylist(),
+                  key=lambda r: r["chunk"])
 
 
 def _tokenize_counts_kernel(stopwords: frozenset[str],
@@ -229,20 +268,9 @@ def _doc_stats_kernel(stopwords: frozenset[str]):
     return fn
 
 
-def index_tokens_from_raw(raw: list[str], stopwords: frozenset[str]
-                          ) -> list[str]:
-    from ..functions.porter2 import stem
-    out = []
-    for tok in raw:
-        if len(tok) < 3 or tok in stopwords:
-            continue
-        out.append(stem(tok) if len(tok) >= 4 else tok)
-    return out
-
-
-def _pack_segments_kernel(block_size: int):
+def _pack_postings_kernel(block_size: int):
     """applyInPandas kernel over a (chunk, term-BUCKET) group → one
-    segment row per term in the bucket.
+    final postings row per term in the bucket.
 
     Grouping by (chunk, term) directly costs a pandas round-trip per
     term — ~0.5 ms x |vocab| x n_chunks dominates stage 1 and
@@ -259,55 +287,22 @@ def _pack_segments_kernel(block_size: int):
         dls = pdf["dl"].to_numpy()
         mtfs = pdf["max_tf"].to_numpy()
         chunk = int(pdf["chunk"].iloc[0])
+        bucket = int(pdf["tbucket"].iloc[0])
         uniq, starts = np.unique(terms, return_index=True)
         bounds = np.append(starts, terms.size)
-        out = {"term": [], "chunk": [], "df_part": [], "blocks": []}
+        out = {"term": [], "bucket": [], "salt": [], "df_part": [],
+               "min_doc_id": [], "blocks": []}
         for i, term in enumerate(uniq):
             lo, hi = bounds[i], bounds[i + 1]
             out["term"].append(term)
-            out["chunk"].append(chunk)
+            out["bucket"].append(bucket)
+            out["salt"].append(chunk)
             out["df_part"].append(int(hi - lo))
-            out["blocks"].append(codec.pack_segment_postings(
+            out["min_doc_id"].append(int(ids[lo]))
+            out["blocks"].append(codec.pack_postings(
                 ids[lo:hi], tfs[lo:hi], dls[lo:hi], mtfs[lo:hi],
                 block_size=block_size))
         return pd.DataFrame(out)
-
-    return fn
-
-
-def _finalize_kernel(n_docs: int, avgdl: float, block_size: int,
-                     k1: float, b: float):
-    """mapInPandas kernel: segment rows (+ global df) → final rows."""
-
-    def fn(batches):
-        import pandas as pd
-        for pdf in batches:
-            rows = {k: [] for k in
-                    ("term", "salt", "df", "idf", "bm25_idf", "blocks")}
-            for term, chunk, blocks, df in zip(
-                    pdf["term"], pdf["chunk"], pdf["blocks"], pdf["df"]):
-                idf_v = float(scoring.idf(n_docs, df))
-                bidf_v = float(scoring.bm25_idf(n_docs, df))
-                ids_l, tfs_l, dls_l, mtfs_l = [], [], [], []
-                for blk in blocks:
-                    i, t, d, m = codec.unpack_segment_block(
-                        bytes(blk["data"]), int(blk["n"]))
-                    ids_l.append(i); tfs_l.append(t)
-                    dls_l.append(d); mtfs_l.append(m)
-                ids = np.concatenate(ids_l)
-                tfs = np.concatenate(tfs_l)
-                dls = np.concatenate(dls_l)
-                mtfs = np.concatenate(mtfs_l)
-                w = scoring.posting_weights(
-                    tfs, dls, mtfs, idf_v, bidf_v, avgdl, k1, b)
-                rows["term"].append(term)
-                rows["salt"].append(int(chunk))
-                rows["df"].append(int(df))
-                rows["idf"].append(idf_v)
-                rows["bm25_idf"].append(bidf_v)
-                rows["blocks"].append(codec.pack_final_postings(
-                    ids, tfs, w, block_size=block_size))
-            yield pd.DataFrame(rows)
 
     return fn
 
@@ -317,20 +312,20 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
                    block_size: int = codec.DEFAULT_BLOCK,
                    k1: float = scoring.K1, b: float = scoring.B,
                    expected_n_docs: int | None = None) -> dict:
-    """Stage 2: global df/idf/avgdl over ALL chunks in the registry,
-    rewrite segment blocks into final weighted+block-max postings,
-    write corpus_stats.  Shared by the batch build and the streaming
-    refresh (streaming/incremental.py) — after new chunks are
-    appended, re-running this re-scales every weight to the new
-    global statistics (idf/avgdl are global, so a refresh is a full
-    postings rewrite — the Lucene-style segment-merge moment)."""
+    """Stage 2: global metadata over ALL chunks in the registry —
+    the ``dictionary`` table (term → global df, bucket-partitioned
+    for the same pruning as postings) and ``corpus_stats``.  Shared
+    by the batch build and the streaming refresh
+    (streaming/incremental.py): appended chunks change only these
+    two small tables (idf/avgdl/df are applied at query time), so a
+    refresh never touches posting bytes."""
     paths = IndexPaths(out_dir)
-    chunk_list = sorted(r["chunk"] for r in
-                        spark.read.parquet(paths.chunks).collect())
+    registry = read_registry(paths.chunks)
+    chunk_list = [r["chunk"] for r in registry]
     docs_all = spark.read.option("basePath", paths.docs).parquet(
         *[os.path.join(paths.docs, f"chunk={c}") for c in chunk_list])
     if expected_n_docs is None:
-        n_docs = docs_all.count()
+        n_docs = sum(r["n_docs"] for r in registry)
     else:
         n_docs = expected_n_docs
     # Every docs-side statistic (incl. the Heaps prefix token count)
@@ -346,16 +341,15 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     ).collect()[0]
     assert stats_row["n_docs"] == n_docs, \
         "docs chunks disagree with registry/stage0"
-    # exact-integer division pins avgdl bit-identically vs the oracle
     avgdl = stats_row["sum_dl"] / n_docs if n_docs else 0.0
 
-    segments = spark.read.option("basePath", paths.segments).parquet(
-        *[os.path.join(paths.segments, f"chunk={c}")
-          for c in chunk_list])
-    df_table = segments.groupBy("term").agg(
+    # Global df per term: reads ONLY (term, df_part, min_doc_id) —
+    # parquet column pruning never touches the block bytes.
+    postings = (spark.read.parquet(paths.postings)
+                .where(F.col("salt").isin(chunk_list)))
+    df_table = postings.groupBy("term").agg(
         F.sum("df_part").alias("df"),
-        F.min(F.element_at("blocks", 1)["first_doc_id"])
-         .alias("min_doc_id"),
+        F.min("min_doc_id").alias("min_doc_id"),
     )
     df_table.persist()
     vocab_row = df_table.agg(
@@ -363,22 +357,15 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
         F.count(F.when(F.col("min_doc_id") <= half, True))
          .alias("v_half")).collect()[0]
     vocab = vocab_row["vocab"]
-
-    joined = segments.join(df_table.select("term", "df"), "term")
-    final_rows = joined.mapInPandas(
-        _finalize_kernel(n_docs, avgdl, block_size, k1, b),
-        schema=POSTINGS_SCHEMA)
-    # repartition by bucket before the partitioned write: without it
-    # every shuffle task writes a sliver into every bucket dir
-    # (tasks × buckets small files — observed 970 at 32 cores) and
-    # the serial commit protocol dominates.  One task per bucket here;
-    # at petabyte scale repartition by (bucket, salt) instead so each
-    # bucket gets n_chunks parallel writers and n_chunks files.
-    (final_rows
-     .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+    # dictionary: bucket-partitioned like postings so a query's term
+    # lookups prune identically; repartition first so each bucket is
+    # one task/file, not a sliver from every shuffle task
+    (df_table
+     .select("term", "df", term_bucket(F.col("term"), n_buckets)
+             .alias("bucket"))
      .repartition(n_buckets, "bucket")
      .write.partitionBy("bucket").mode("overwrite")
-     .parquet(paths.postings))
+     .parquet(paths.dictionary))
 
     # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
     # the full corpus and the doc_id ≤ N/2 prefix.
@@ -391,22 +378,21 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
         heaps_k = vocab / (t_total ** heaps_b)
     df_table.unpersist()
 
+    max_chunk = max(chunk_list) if chunk_list else -1
     stats_df = spark.createDataFrame(
         [(n_docs, t_total, int(stats_row["sum_dl"] or 0), avgdl, vocab,
-          heaps_b, heaps_k, len(chunk_list), n_buckets, block_size,
-          k1, b)],
+          heaps_b, heaps_k, len(chunk_list), max_chunk, n_buckets,
+          block_size, k1, b, INDEX_LAYOUT_VERSION)],
         schema=("n_docs long, n_raw_tokens long, sum_dl long, "
                 "avgdl double, vocabulary long, heaps_b double, "
-                "heaps_k double, n_chunks int, n_buckets int, "
-                "block_size int, k1 double, b double"))
+                "heaps_k double, n_chunks int, max_chunk int, "
+                "n_buckets int, block_size int, k1 double, b double, "
+                "layout int"))
     stats_df.coalesce(1).write.mode("overwrite").parquet(
         paths.corpus_stats)
-    # drop the tokenize intermediate — postings/docs/stats are final
-    import shutil
-    shutil.rmtree(paths.term_rows, ignore_errors=True)
     return {"n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
             "heaps_b": heaps_b, "heaps_k": heaps_k,
-            "n_chunks": len(chunk_list)}
+            "n_chunks": len(chunk_list), "max_chunk": max_chunk}
 
 
 def term_bucket(col, n_buckets: int):
@@ -420,7 +406,7 @@ def build_index(
     pages: DataFrame,
     out_dir: str,
     *,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
     n_buckets: int = 16,
     block_size: int = codec.DEFAULT_BLOCK,
     stopwords: frozenset[str] = STOPWORDS,
@@ -432,29 +418,45 @@ def build_index(
 ) -> BuildResult:
     """Run the full build.  With ``resume=True``, stages whose
     manifest is present (and input fingerprint unchanged) are
-    skipped.  ``fail_after_chunk`` injects a crash for the resume
-    test (SURVEY.md §5.6)."""
+    skipped.  ``n_chunks=None`` derives the chunk count from the
+    corpus size (DOCS_PER_CHUNK) so query-kernel memory stays
+    bounded without caller knowledge.  ``fail_after_chunk`` injects
+    a crash for the resume test (SURVEY.md §5.6)."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     stage_secs: dict[str, float] = {}
     resumed: list[str] = []
 
-    # ---- stage 0: deterministic ids + chunk snapshot -----------------
+    # ---- stage 0: deterministic ids + chunk registry -----------------
     fp_row = pages.agg(
         F.count("*").alias("c"),
         F.expr("bit_xor(xxhash64(url))").alias("h")).collect()[0]
-    # layout version participates in the fingerprint: an index built
-    # by an older on-disk layout is rebuilt, not resumed into
-    fingerprint = {"n_rows": fp_row["c"],
-                   "url_hash_xor": str(fp_row["h"]),
-                   "layout": INDEX_LAYOUT_VERSION}
     n_in = int(fp_row["c"])
+    if n_chunks is None:
+        n_chunks = max(1, math.ceil(n_in / DOCS_PER_CHUNK))
+    # layout version + chunking + block size participate in the
+    # fingerprint: an index built with any other on-disk shape is
+    # rebuilt, not resumed into
+    fingerprint = {"n_rows": n_in,
+                   "url_hash_xor": str(fp_row["h"]),
+                   "layout": INDEX_LAYOUT_VERSION,
+                   "n_chunks": n_chunks,
+                   "block_size": block_size,
+                   "n_buckets": n_buckets}
     if resume and stage_complete(out_dir, "stage0", fingerprint):
         resumed.append("stage0")
         n_docs = read_manifest(out_dir, "stage0")["n_docs"]
     else:
         ts = time.time()
+        # a fresh (non-resumed) stage 0 invalidates everything below
+        # it — clear output dirs so partitions from a previous larger
+        # build can never leak into this index (stale bucket=/salt=
+        # dirs would survive dynamic partition overwrite)
+        for p in (paths.postings, paths.docs, paths.dictionary,
+                  paths.url_map,
+                  os.path.join(out_dir, "segments")):  # pre-v4 dir
+            shutil.rmtree(p, ignore_errors=True)
         # Stage 0 materializes ONLY the url->(doc_id, chunk) map —
         # never a copy of the corpus (an earlier design rewrote all
         # pages partitioned by chunk; that write was the largest
@@ -477,11 +479,10 @@ def build_index(
         k = n_chunks
         bounds = [(c * n_in + k - 1) // k + 1 for c in range(k)]
         bounds.append(n_in + 1)
-        reg = [(c, bounds[c], bounds[c + 1] - bounds[c])
-               for c in range(k) if bounds[c + 1] > bounds[c]]
-        (spark.createDataFrame(reg,
-                               "chunk int, min_id long, n_docs long")
-         .coalesce(1).write.mode("overwrite").parquet(paths.chunks))
+        write_registry(paths.chunks, [
+            {"chunk": c, "min_id": bounds[c],
+             "n_docs": bounds[c + 1] - bounds[c], "batch_id": None}
+            for c in range(k) if bounds[c + 1] > bounds[c]])
         # row count is already pinned by the input fingerprint — no
         # verification re-scan (assign_doc_ids is row-preserving)
         n_docs = n_in
@@ -494,7 +495,7 @@ def build_index(
                         "op": "assign_doc_ids+chunk-registry"},
         })
 
-    # ---- stage 1: tokenize → segment blocks, per-chunk resumable ----
+    # ---- stage 1: tokenize → final posting blocks, per-chunk resume --
     # Downstream manifests embed the stage-0 input fingerprint, so a
     # re-staged (changed) input invalidates every chunk + finalize.
     #
@@ -526,10 +527,6 @@ def build_index(
         group = missing[gi:gi + batch]
         ts = time.time()
         staged_g = staged_all.where(F.col("chunk").isin(group))
-        # chunk parquet footprints are small relative to
-        # maxPartitionBytes, so the scan would yield few tasks and the
-        # tokenize kernel (the hottest op, SURVEY §6) would starve —
-        # spread it across every core first
         # Two independent single-pass jobs, both re-running the cheap
         # tokenize (~0.2 ms/doc) rather than materializing or caching
         # its 140-rows-per-doc output between consumers (a .persist()
@@ -538,6 +535,9 @@ def build_index(
         # reads — both slower than just tokenizing twice):
         #   job 1: docs dimension, ONE row/doc through Arrow
         #   job 2: term rows → (chunk, term) shuffle → packed blocks
+        # The repartition spreads the (small-footprint) scan across
+        # every core so the tokenize kernel — the hottest op, SURVEY
+        # §6 — never starves.
         docs_g = (staged_g
                   .select("doc_id", "chunk", "url", "lang", "text")
                   .repartition(par, "doc_id")
@@ -546,7 +546,7 @@ def build_index(
         (docs_g.write.partitionBy("chunk")
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite").parquet(paths.docs))
-        segments_g = (
+        postings_g = (
             staged_g.select("doc_id", "chunk", "text")
             .repartition(par, "doc_id")
             .mapInPandas(_tokenize_counts_kernel(stopwords),
@@ -554,12 +554,12 @@ def build_index(
             .withColumn("tbucket",
                         term_bucket(F.col("term"), n_buckets))
             .groupBy("chunk", "tbucket")
-            .applyInPandas(_pack_segments_kernel(SEGMENT_BLOCK),
-                           schema=SEGMENT_SCHEMA)
+            .applyInPandas(_pack_postings_kernel(block_size),
+                           schema=POSTINGS_SCHEMA)
         )
-        (segments_g.write.partitionBy("chunk")
+        (postings_g.write.partitionBy("bucket", "salt")
          .option("partitionOverwriteMode", "dynamic")
-         .mode("overwrite").parquet(paths.segments))
+         .mode("overwrite").parquet(paths.postings))
         wall = time.time() - ts
         for c in group:
             # count from the written files' parquet footers (metadata
@@ -572,11 +572,11 @@ def build_index(
                 "wall_secs": wall / len(group),
                 "docs_per_sec": (n_docs_c * len(group) / wall
                                  if wall > 0 else None),
-                "outputs": [os.path.join(paths.segments, f"chunk={c}"),
+                "outputs": [paths.postings,
                             os.path.join(paths.docs, f"chunk={c}")],
                 "lineage": {"stage": "chunk", "chunk": c,
                             "input": "web_pages+url_map",
-                            "op": "tokenize+count+segment-pack",
+                            "op": "tokenize+count+block-pack",
                             "block_size": block_size,
                             "batched_with": group},
             })
@@ -584,7 +584,7 @@ def build_index(
             raise RuntimeError(
                 f"injected failure after chunk-{group[-1]:04d}")
 
-    # ---- stage 2: finalize ------------------------------------------
+    # ---- stage 2: finalize (metadata only) ---------------------------
     if resume and stage_complete(out_dir, "finalize", fingerprint):
         resumed.append("finalize")
         m = read_manifest(out_dir, "finalize")
@@ -603,10 +603,10 @@ def build_index(
         "fingerprint": fingerprint,
         "n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
         "wall_secs": stage_secs["finalize"], "docs_per_sec": dps,
-        "outputs": [paths.postings, paths.corpus_stats],
-        "lineage": {"stage": "finalize", "inputs": [paths.segments,
+        "outputs": [paths.dictionary, paths.corpus_stats],
+        "lineage": {"stage": "finalize", "inputs": [paths.postings,
                                                     paths.docs],
-                    "op": "df+idf+weights+final-pack",
+                    "op": "df-dictionary+corpus-stats",
                     "n_buckets": n_buckets},
     })
     return BuildResult(paths, n_docs, wall_total,

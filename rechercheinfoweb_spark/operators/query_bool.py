@@ -24,12 +24,19 @@ on the reference query set is the goal:
   its operands so the non-NOT side binds first, and a NOT under OR
   (or at top level) sees an empty bound set → empty result.
 
-Evaluation compiles the AST to DataFrame set algebra: term →
-bucket-pruned postings fetch + id unpack; AND → left-semi join; AND
-NOT → left-anti join; OR → union+distinct.  Catalyst/AQE picks
-broadcast vs shuffle joins per side size — on a 1000-executor
-cluster a rare-term side broadcasts, two huge sides sort-merge on
-doc_id; no driver-side set materialization anywhere.
+Evaluation is document-partitioned, like the ranked path: ONE
+bucket-pruned postings fetch for all query terms, then the whole
+AST evaluates independently inside each ``salt`` shard
+(applyInPandas kernel over numpy id arrays).  This is correct
+because shards are disjoint doc-id ranges and every reference set
+operation distributes over disjoint ranges — including the bound
+NOT, whose ``prec`` operand is itself shard-local.  The shape
+beats join-based set algebra at any scale: postings are already
+co-partitioned by salt, so AND/OR/NOT never shuffle id lists at
+all; the only movement is the final per-shard result union.  (An
+earlier design compiled to semi/anti/union joins — Catalyst-
+correct, but each operator paid a shuffle and the multi-stage
+latency dominated interactive queries.)
 """
 
 from __future__ import annotations
@@ -135,25 +142,86 @@ def parse_boolean(query: str):
 # Evaluation ----------------------------------------------------------
 
 
-def _unpack_ids_kernel():
-    """Blocks store absolute delta-encoded doc_ids, so unpacking
-    needs no shard-range mapping."""
-    def fn(batches):
+def _eval_ast_numpy(node, term_ids, prec: np.ndarray) -> np.ndarray:
+    """Evaluate the AST over sorted numpy id arrays — the shared
+    set-algebra spec (reference semantics: bound NOT via prec,
+    AND operand swap so the non-NOT side binds first,
+    bool_query.go:38-102).  ``term_ids(word)`` supplies one
+    (shard-local) sorted id array per word."""
+    empty = np.zeros(0, dtype=np.int64)
+    if isinstance(node, Word):
+        return term_ids(node.w)
+    if isinstance(node, Not):
+        inner = _eval_ast_numpy(node.b, term_ids, empty)
+        return np.setdiff1d(prec, inner, assume_unique=False)
+    if isinstance(node, And):
+        b1, b2 = node.b1, node.b2
+        if b1.is_not() and not b2.is_not():
+            b1, b2 = b2, b1
+        r1 = _eval_ast_numpy(b1, term_ids, prec)
+        r2 = _eval_ast_numpy(b2, term_ids, r1)
+        return np.intersect1d(r1, r2)
+    if isinstance(node, Or):
+        return np.union1d(_eval_ast_numpy(node.b1, term_ids, prec),
+                          _eval_ast_numpy(node.b2, term_ids, prec))
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _eval_shard_kernel(ast):
+    """applyInPandas kernel over one salt shard's posting rows:
+    decode each term's ids (first varint section only — no
+    statistics decode), evaluate the AST on the shard's disjoint
+    doc-id range, emit matching ids."""
+
+    def fn(pdf):
         import pandas as pd
-        for pdf in batches:
-            terms_all, ids_all = [], []
-            for term, blocks in zip(pdf["term"], pdf["blocks"]):
-                for blk in blocks:
-                    deltas, _ = codec.decode_varints(
-                        bytes(blk["data"]), int(blk["n"]))
-                    ids = np.cumsum(deltas.astype(np.int64))
-                    ids_all.append(ids)
-                    terms_all.extend([term] * ids.size)
-            yield pd.DataFrame({
-                "term": terms_all,
-                "doc_id": (np.concatenate(ids_all)
-                           if ids_all else np.zeros(0, np.int64))})
+        by_word: dict[str, np.ndarray] = {}
+        by_term: dict[str, list[np.ndarray]] = {}
+        for term, blocks in zip(pdf["term"], pdf["blocks"]):
+            lists = by_term.setdefault(term, [])
+            for blk in blocks:
+                lists.append(codec.unpack_block_ids(
+                    bytes(blk["data"]), int(blk["n"])))
+
+        def term_ids(word: str) -> np.ndarray:
+            hit = by_word.get(word)
+            if hit is None:
+                lists = by_term.get(bool_query_term(word), [])
+                hit = (np.sort(np.concatenate(lists)) if lists
+                       else np.zeros(0, dtype=np.int64))
+                by_word[word] = hit
+            return hit
+
+        out = _eval_ast_numpy(ast, term_ids,
+                              np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({"doc_id": out.astype(np.int64)})
+
     return fn
+
+
+def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
+                   query: str, with_urls: bool = False) -> DataFrame:
+    """Boolean retrieval; result ordered by doc_id asc (the
+    reference's posting-list order, search.go:82-85)."""
+    reader = (index_dir if isinstance(index_dir, IndexReader)
+              else IndexReader(spark, index_dir))
+    ast = parse_boolean(query)
+    if ast is None:
+        res = spark.createDataFrame([], "doc_id long")
+    else:
+        terms = sorted({bool_query_term(w)
+                        for w in _collect_words(ast, [])})
+        rows = reader.postings_for(terms)
+        res = (rows.select("term", "salt", "blocks")
+               .groupBy("salt")
+               .applyInPandas(_eval_shard_kernel(ast),
+                              schema="doc_id long"))
+    res = res.orderBy("doc_id")
+    if with_urls:
+        docs = reader.docs().select("doc_id", "url")
+        res = (docs.join(F.broadcast(res), "doc_id")
+               .orderBy("doc_id"))
+    return res
 
 
 def _collect_words(node, acc: list):
@@ -165,73 +233,3 @@ def _collect_words(node, acc: list):
         _collect_words(node.b1, acc)
         _collect_words(node.b2, acc)
     return acc
-
-
-class BooleanEvaluator:
-    def __init__(self, reader: IndexReader, ast=None):
-        self.reader = reader
-        self.spark = reader.spark
-        self._empty = self.spark.createDataFrame([], "doc_id long")
-        self._prefetched = None
-        if ast is not None:
-            # one bucket-pruned postings scan + unpack for ALL query
-            # terms, cached; per-word sets are filters on it — N
-            # words cost one scan, not N
-            terms = sorted({bool_query_term(w)
-                            for w in _collect_words(ast, [])})
-            if terms:
-                rows = self.reader.postings_for(terms)
-                self._prefetched = rows.select("term", "blocks").mapInPandas(
-                    _unpack_ids_kernel(),
-                    schema="term string, doc_id long").persist()
-
-    def term_docs(self, word: str) -> DataFrame:
-        term = bool_query_term(word)
-        if self._prefetched is not None:
-            return (self._prefetched.where(F.col("term") == term)
-                    .select("doc_id"))
-        rows = self.reader.postings_for([term])
-        return rows.select(F.lit("").alias("term"), "blocks").mapInPandas(
-            _unpack_ids_kernel(),
-            schema="term string, doc_id long").select("doc_id")
-
-    def evaluate(self, node, prec: DataFrame | None = None) -> DataFrame:
-        if prec is None:
-            prec = self._empty
-        if isinstance(node, Word):
-            return self.term_docs(node.w)
-        if isinstance(node, Not):
-            inner = self.evaluate(node.b, self._empty)
-            return prec.join(inner, "doc_id", "left_anti")
-        if isinstance(node, And):
-            b1, b2 = node.b1, node.b2
-            if b1.is_not() and not b2.is_not():
-                b1, b2 = b2, b1
-            res1 = self.evaluate(b1, prec)
-            res2 = self.evaluate(b2, res1)
-            return res1.join(res2, "doc_id", "left_semi")
-        if isinstance(node, Or):
-            res1 = self.evaluate(node.b1, prec)
-            res2 = self.evaluate(node.b2, prec)
-            return res1.union(res2).distinct()
-        raise TypeError(f"unknown node {node!r}")
-
-
-def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
-                   query: str, with_urls: bool = False) -> DataFrame:
-    """Boolean retrieval; result ordered by doc_id asc (the
-    reference's posting-list order, search.go:82-85)."""
-    reader = (index_dir if isinstance(index_dir, IndexReader)
-              else IndexReader(spark, index_dir))
-    ast = parse_boolean(query)
-    ev = BooleanEvaluator(reader, ast)
-    if ast is None:
-        res = ev._empty
-    else:
-        res = ev.evaluate(ast)
-    res = res.orderBy("doc_id")
-    if with_urls:
-        docs = reader.docs().select("doc_id", "url")
-        res = (docs.join(F.broadcast(res), "doc_id")
-               .orderBy("doc_id"))
-    return res

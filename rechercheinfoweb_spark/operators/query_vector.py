@@ -8,8 +8,10 @@ full sort desc.  Duplicated query terms contribute twice
 we canonicalize with a (score desc, doc_id asc) tiebreak, and the
 oracle does the same (SURVEY.md §7 determinism).
 
-Spark formulation: the query's terms select postings rows via
-bucket partition pruning + term filter; scoring runs document-
+Spark formulation: term → bucket (pure-Python twin of the build's
+xxhash64 expression, no Spark job) selects postings partitions; the
+``dictionary`` table supplies each term's global df (bucket-pruned
+point reads, LRU-cached per reader).  Scoring runs document-
 partitioned — each ``salt`` (doc-range shard created at build time)
 holds every query term's postings for its own doc subset, so one
 ``applyInPandas`` group scores that shard independently and emits its
@@ -19,32 +21,47 @@ classic document-partitioned distributed search fan-out: at 10^12
 docs each shard scores in parallel and only k rows per shard reach
 the final merge.
 
+Layout v4: blocks store (delta ids, tf, dl, max_tf) varints; the
+kernel computes the scheme weight from those statistics plus
+query-time idf through the SAME ``scoring.posting_weights`` spec the
+oracle and the build share — so scores are bit-equal to a
+precomputed-weight design while the index never stores a float
+plane.
+
 Block-max pruning (north rule): within a shard the kernel first
-builds per-doc score *upper bounds* from block-max metadata alone
-(ids decode, no weight decode), establishes a threshold θ from the
-exact scores of the top-k docs by upper bound (a valid lower bound on
-the true kth score), then skips every block whose docs all fall
-below θ.  Results are exact — pruned docs are provably outside the
-top-k — so WAND-on and WAND-off return rank-identical lists, which
+builds per-doc score *upper bounds* from block metadata alone
+(``scoring.block_upper_bounds`` over max_tf/min_dl/max_ratio; ids
+decode only), establishes a threshold θ from the exact scores of the
+top-k docs by upper bound (a valid lower bound on the true kth
+score), then skips every block whose docs all fall below θ.  Results
+are exact — pruned docs are provably outside the top-k — so WAND-on
+and WAND-off return rank-identical lists, which
 ``tests/test_query_vector.py`` pins.
 """
 
 from __future__ import annotations
 
-from collections import Counter
+from collections import Counter, OrderedDict
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import codec
+from ..functions import codec, scoring
 from ..functions.tokenizer import STOPWORDS, vector_query_terms
-from .index_build import IndexPaths, term_bucket
+from ..functions.xxhash import spark_term_bucket
+from .index_build import IndexPaths, read_registry
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
 
 
 class IndexReader:
-    """Handle on a built index directory."""
+    """Handle on a built index directory (one finalized snapshot).
+
+    Chunks appended by the streaming path after the last
+    ``finalize_index`` are invisible until the next refresh:
+    ``corpus_stats.max_chunk`` pins the snapshot and every read
+    filters ``salt``/``chunk`` to it, so queries never mix new
+    postings with stale global statistics."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -53,35 +70,76 @@ class IndexReader:
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         self.n_chunks = stats["n_chunks"]
+        self.max_chunk = stats["max_chunk"]
         self.n_buckets = stats["n_buckets"]
         self.vocabulary = stats["vocabulary"]
-        # chunk registry: salt/chunk -> (first doc_id, chunk size);
-        # shard kernels map absolute ids to dense positions with it
+        self.k1 = stats["k1"]
+        self.b = stats["b"]
+        # chunk registry (driver-side file read, no Spark job):
+        # salt/chunk -> (first doc_id, chunk size); shard kernels map
+        # absolute ids to dense positions with it
         self.salt_map: dict[int, tuple[int, int]] = {
             r["chunk"]: (r["min_id"], r["n_docs"])
-            for r in spark.read.parquet(self.paths.chunks).collect()}
-        # one file-listing/schema pass for the postings table, reused
-        # by every query through this reader
+            for r in read_registry(self.paths.chunks)
+            if r["chunk"] <= self.max_chunk}
+        # one file-listing/schema pass per table, reused by every
+        # query through this reader
         self._postings = spark.read.parquet(self.paths.postings)
+        self._dictionary = spark.read.parquet(self.paths.dictionary)
+        self._df_cache: OrderedDict[str, int] = OrderedDict()
+        self._max_df_cache = 65536
+
+    def _buckets_of(self, terms: list[str]) -> list[int]:
+        # driver-side xxhash64 twin of the build's bucket expression
+        return sorted({spark_term_bucket(t, self.n_buckets)
+                       for t in terms})
+
+    def df_for(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term from the dictionary table (bucket-
+        pruned point reads, LRU-cached).  Terms absent from the
+        dictionary are omitted (df = 0 → no postings either)."""
+        out: dict[str, int] = {}
+        missing: list[str] = []
+        for t in set(terms):
+            hit = self._df_cache.get(t)
+            if hit is not None:
+                self._df_cache.move_to_end(t)
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            rows = (self._dictionary
+                    .where(F.col("bucket").isin(self._buckets_of(missing)))
+                    .where(F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            for r in rows:
+                out[r["term"]] = self._df_cache[r["term"]] = int(r["df"])
+            while len(self._df_cache) > self._max_df_cache:
+                self._df_cache.popitem(last=False)
+        return out
+
+    def term_params(self, mult: dict[str, int]
+                    ) -> dict[str, tuple[float, float, float]]:
+        """term -> (multiplicity, idf, bm25_idf) for dictionary-known
+        terms, computed exactly like the oracle (scoring spec)."""
+        dfs = self.df_for(list(mult))
+        return {t: (float(m), float(scoring.idf(self.n_docs, dfs[t])),
+                    float(scoring.bm25_idf(self.n_docs, dfs[t])))
+                for t, m in mult.items() if t in dfs}
 
     def postings_for(self, terms: list[str]) -> DataFrame:
-        """Posting rows for *terms*, bucket-pruned.
+        """Posting rows for *terms*, bucket- and snapshot-pruned.
 
-        The bucket predicate is computed with the same Spark-side
-        xxhash64 expression the build used, so the parquet scan reads
-        only the matching ``bucket=`` partitions (partition pruning —
-        verify with .explain: PartitionFilters on ``bucket``)."""
+        The bucket predicate matches the build's partition layout, so
+        the parquet scan reads only the matching ``bucket=``/``salt=``
+        partitions (partition pruning — verify with .explain:
+        PartitionFilters on ``bucket`` and ``salt``)."""
         if not terms:
             return self._postings.limit(0)
         uniq = sorted(set(terms))
-        tdf = self.spark.createDataFrame(
-            [(t,) for t in uniq], "term string")
-        # terms are already unique — plain collect, no distinct shuffle
-        buckets = sorted({r["b"] for r in tdf.select(
-            term_bucket(F.col("term"), self.n_buckets).alias("b"))
-            .collect()})
         return (self._postings
-                .where(F.col("bucket").isin(buckets))
+                .where(F.col("bucket").isin(self._buckets_of(uniq)))
+                .where(F.col("salt") <= F.lit(self.max_chunk))
                 .where(F.col("term").isin(uniq)))
 
     def docs(self) -> DataFrame:
@@ -89,9 +147,24 @@ class IndexReader:
             *[f"{self.paths.docs}/chunk={c}" for c in self.salt_map])
 
 
-def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
-                        k: int, salt_map: dict[int, tuple[int, int]],
-                        use_pruning: bool):
+def _block_meta_ub(blocks, idf_v: float, bidf_v: float, wcol: int,
+                   avgdl: float, k1: float, b: float) -> np.ndarray:
+    """Per-block score upper bounds for one term's block list."""
+    mt = np.fromiter((blk["max_tf"] for blk in blocks), dtype=np.int64,
+                     count=len(blocks))
+    md = np.fromiter((blk["min_dl"] for blk in blocks), dtype=np.int64,
+                     count=len(blocks))
+    mr = np.fromiter((blk["max_ratio"] for blk in blocks),
+                     dtype=np.float64, count=len(blocks))
+    return scoring.block_upper_bounds(mt, md, mr, idf_v, bidf_v,
+                                      avgdl, k1, b)[:, wcol]
+
+
+def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
+                        scheme: str, k: int,
+                        salt_map: dict[int, tuple[int, int]],
+                        use_pruning: bool, avgdl: float,
+                        k1: float, b: float):
     """applyInPandas kernel over one salt shard's posting rows.
 
     ``salt_map`` maps each shard to its contiguous (first_doc_id,
@@ -106,42 +179,47 @@ def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
         salt = int(pdf["salt"].iloc[0])
         base, cap = salt_map[salt]
         cap += 2  # dense doc-position space
-        # pass 1: decode ids only; per-doc upper bounds from block max
-        decoded = []  # (mult, positions, block_max, data, n)
+        # pass 1: decode ids only; per-doc upper bounds from block
+        # metadata (no statistics decode)
+        decoded = []  # (mult, idf, bidf, pos, data, n, off)
         ub = np.zeros(cap, dtype=np.float64)
         present = np.zeros(cap, dtype=bool)  # any-posting docs score
         # even when idf=0 (df=N hot terms), like the reference merge
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
-            mult = np.float64(multiplicity[term])
-            for blk in blocks:
+            mult, idf_v, bidf_v = term_params[term]
+            m = np.float64(mult)
+            bmaxes = _block_meta_ub(blocks, idf_v, bidf_v, wcol,
+                                    avgdl, k1, b)
+            for bi, blk in enumerate(blocks):
                 n = int(blk["n"])
                 data = bytes(blk["data"])
                 deltas, off = codec.decode_varints(data, n)
-                ids = np.cumsum(deltas.astype(np.int64))
-                pos = ids - base
-                bmax = float((blk["max_w_raw"], blk["max_w_norm"],
-                              blk["max_w_half"], blk["max_bm25"])[wcol])
-                ub[pos] += mult * bmax
+                pos = np.cumsum(deltas.astype(np.int64)) - base
+                ub[pos] += m * bmaxes[bi]
                 present[pos] = True
-                decoded.append((mult, ids, pos, bmax, data, n, off))
+                decoded.append((m, idf_v, bidf_v, pos, data, n, off))
 
         def add_exact(into: np.ndarray, mask_pos=None):
-            # accumulate exact contributions in term-sorted block order
-            for mult, ids, pos, bmax, data, n, off in decoded:
+            # accumulate exact contributions in term-sorted block
+            # order — the oracle's float-op order
+            for m, idf_v, bidf_v, pos, data, n, off in decoded:
                 if mask_pos is not None:
                     sel = mask_pos[pos]
                     if not sel.any():
                         continue
                 else:
                     sel = None
-                w = np.frombuffer(
-                    data, dtype=np.float64, count=n * codec.N_WEIGHTS,
-                    offset=_weights_offset(data, n, off),
-                ).reshape((n, codec.N_WEIGHTS), order="F")[:, wcol]
+                tfs, o2 = codec.decode_varints(data, n, off)
+                dls, o3 = codec.decode_varints(data, n, o2)
+                mtfs, _ = codec.decode_varints(data, n, o3)
+                w = scoring.posting_weights(
+                    tfs.astype(np.int64), dls.astype(np.int64),
+                    mtfs.astype(np.int64), idf_v, bidf_v, avgdl,
+                    k1, b)[:, wcol]
                 if sel is None:
-                    into[pos] += mult * w
+                    into[pos] += m * w
                 else:
-                    np.add.at(into, pos[sel], mult * w[sel])
+                    np.add.at(into, pos[sel], m * w[sel])
 
         exact = np.zeros(cap, dtype=np.float64)
         if not use_pruning:
@@ -179,15 +257,12 @@ def _score_shard_kernel(multiplicity: dict[str, int], scheme: str,
     return fn
 
 
-def _weights_offset(data: bytes, n: int, ids_end: int) -> int:
-    """Offset of the float64 weights section: skip the tf varints."""
-    _, off = codec.decode_varints(data, n, ids_end)
-    return off
-
-
 def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
+                              term_params: dict[str, tuple[float, float,
+                                                           float]],
                               scheme: str, k: int,
-                              salt_map: dict[int, tuple[int, int]]):
+                              salt_map: dict[int, tuple[int, int]],
+                              avgdl: float, k1: float, b: float):
     """applyInPandas kernel over one salt shard's posting rows,
     scoring EVERY query of the batch in a single pass.
 
@@ -198,7 +273,7 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
     by the evaluation harness (SURVEY.md §2.6): 64 queries cost one
     distributed pass, not 64 driver round-trips."""
     wcol = SCHEME_COL[scheme]
-    all_terms = sorted({t for m in query_mults.values() for t in m})
+    all_terms = sorted(term_params)
 
     def fn(pdf):
         import pandas as pd
@@ -210,17 +285,21 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
         cap += 2
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
+            _, idf_v, bidf_v = term_params[term]
             decoded = []
             for blk in blocks:
                 n = int(blk["n"])
                 data = bytes(blk["data"])
                 deltas, off = codec.decode_varints(data, n)
-                ids = np.cumsum(deltas.astype(np.int64))
-                w = np.frombuffer(
-                    data, dtype=np.float64, count=n * codec.N_WEIGHTS,
-                    offset=_weights_offset(data, n, off),
-                ).reshape((n, codec.N_WEIGHTS), order="F")[:, wcol]
-                decoded.append((ids - base, w))
+                pos = np.cumsum(deltas.astype(np.int64)) - base
+                tfs, o2 = codec.decode_varints(data, n, off)
+                dls, o3 = codec.decode_varints(data, n, o2)
+                mtfs, _ = codec.decode_varints(data, n, o3)
+                w = scoring.posting_weights(
+                    tfs.astype(np.int64), dls.astype(np.int64),
+                    mtfs.astype(np.int64), idf_v, bidf_v, avgdl,
+                    k1, b)[:, wcol]
+                decoded.append((pos, w))
             by_term[term] = decoded
         for qid in sorted(query_mults):
             mult = query_mults[qid]
@@ -263,7 +342,14 @@ def vector_topk_batch(spark: SparkSession,
     mults = {qid: dict(Counter(vector_query_terms(q, stopwords)))
              for qid, q in queries.items()}
     mults = {qid: m for qid, m in mults.items() if m}
-    kern = _score_shard_batch_kernel(mults, scheme, k, reader.salt_map)
+    all_mult: dict[str, int] = {}
+    for m in mults.values():
+        for t in m:
+            all_mult.setdefault(t, 1)
+    params = reader.term_params(all_mult)
+    kern = _score_shard_batch_kernel(mults, params, scheme, k,
+                                     reader.salt_map, reader.avgdl,
+                                     reader.k1, reader.b)
     rows = reader.postings_for(kern.terms)
     scored = (rows.select("term", "salt", "blocks")
               .groupBy("salt")
@@ -286,10 +372,12 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
               else IndexReader(spark, index_dir))
     terms = vector_query_terms(query, stopwords)
     mult = dict(Counter(terms))
-    rows = reader.postings_for(list(mult))
+    params = reader.term_params(mult)
+    rows = reader.postings_for(list(params))
     scored = rows.select("term", "salt", "blocks").groupBy("salt").applyInPandas(
-        _score_shard_kernel(mult, scheme, k, reader.salt_map,
-                            use_pruning),
+        _score_shard_kernel(params, scheme, k, reader.salt_map,
+                            use_pruning, reader.avgdl, reader.k1,
+                            reader.b),
         schema="doc_id long, score double")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:

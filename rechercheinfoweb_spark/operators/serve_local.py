@@ -6,11 +6,22 @@ shard-kernel path (query_vector.py) is the right plan for batch
 retrieval and huge corpora, but every call pays multi-hundred-ms job
 scheduling — wrong for interactive serving.  This module closes that
 gap while keeping ONE index artifact: it reads the SAME
-bucket-partitioned postings parquet directly with pyarrow (term →
-bucket via the pure-Python XXH64 twin of the build's Spark bucket
-expression), caches hot buckets, and scores with the same numpy
-block decode + sorted-term accumulation as the shard kernel — so
-results are rank-identical with scores equal to the last bit.
+bucket-partitioned postings + dictionary parquet directly with
+pyarrow (term → bucket via the pure-Python XXH64 twin of the build's
+Spark bucket expression), caches hot buckets, and scores with the
+same numpy block decode + ``scoring.posting_weights`` +
+sorted-term accumulation as the shard kernel — so results are
+rank-identical with scores equal to the last bit.
+
+Layout v4: blocks carry (tf, dl, max_tf); the decoded-postings LRU
+computes each term's (n,4) weight matrix ONCE at load (df from the
+dictionary, global stats from corpus_stats) — steady-state hot-term
+queries touch neither the codec nor the weight math.
+
+Snapshot discipline: every read filters partitions to
+``corpus_stats.max_chunk`` — chunks appended by the streaming path
+since the last refresh are invisible, and partitions left on disk by
+a previous larger build can never leak into results.
 
 Division of labor at scale (the Lucene/ES shape, reached from Spark):
 Spark builds/refreshes the artifact; any number of stateless serving
@@ -28,12 +39,12 @@ from collections import Counter, OrderedDict
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..functions import codec
+from ..functions import codec, scoring
 from ..functions.tokenizer import (
     STOPWORDS, bool_query_term, vector_query_terms,
 )
 from ..functions.xxhash import spark_term_bucket
-from .query_bool import And, Not, Or, Word, parse_boolean
+from .query_bool import _eval_ast_numpy, parse_boolean
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
 
@@ -48,9 +59,13 @@ class LocalSearcher:
         self.n_buckets = stats["n_buckets"]
         self.avgdl = stats["avgdl"]
         self.vocabulary = stats["vocabulary"]
+        self.max_chunk = stats["max_chunk"]
+        self.k1 = stats["k1"]
+        self.b = stats["b"]
         self._dir = index_dir
         self._max_cached = max_cached_buckets
         self._buckets: OrderedDict[int, dict] = OrderedDict()
+        self._dfs: OrderedDict[int, dict] = OrderedDict()
         # decoded-postings cache: term -> (ids, weights[n,4]).  The
         # reference keeps every posting list decoded in RAM for the
         # life of the process (trie.go Refs); an LRU over hot terms
@@ -62,16 +77,26 @@ class LocalSearcher:
 
     # ---- storage ----------------------------------------------------
 
+    def _read_bucket(self, table_name: str, bucket: int,
+                     columns: list[str]):
+        path = os.path.join(self._dir, table_name, f"bucket={bucket}")
+        if not os.path.isdir(path):
+            return None
+        return pq.read_table(
+            path, columns=columns,
+            filters=[("salt", "<=", self.max_chunk)]
+            if table_name == "postings" else None)
+
     def _bucket_postings(self, bucket: int) -> dict:
         """term -> list[(salt, blocks)] for one bucket dir (LRU)."""
         hit = self._buckets.get(bucket)
         if hit is not None:
             self._buckets.move_to_end(bucket)
             return hit
-        path = os.path.join(self._dir, "postings", f"bucket={bucket}")
         table: dict[str, list] = {}
-        if os.path.isdir(path):
-            t = pq.read_table(path, columns=["term", "salt", "blocks"])
+        t = self._read_bucket("postings", bucket,
+                              ["term", "salt", "blocks"])
+        if t is not None:
             for row in t.to_pylist():
                 table.setdefault(row["term"], []).append(
                     (row["salt"], row["blocks"]))
@@ -80,34 +105,52 @@ class LocalSearcher:
             self._buckets.popitem(last=False)
         return table
 
+    def _bucket_dfs(self, bucket: int) -> dict:
+        """term -> global df for one dictionary bucket (LRU)."""
+        hit = self._dfs.get(bucket)
+        if hit is not None:
+            self._dfs.move_to_end(bucket)
+            return hit
+        dfs: dict[str, int] = {}
+        t = self._read_bucket("dictionary", bucket, ["term", "df"])
+        if t is not None:
+            dfs = dict(zip(t.column("term").to_pylist(),
+                           t.column("df").to_pylist()))
+        self._dfs[bucket] = dfs
+        if len(self._dfs) > self._max_cached:
+            self._dfs.popitem(last=False)
+        return dfs
+
     def _postings(self, term: str) -> list:
         bucket = spark_term_bucket(term, self.n_buckets)
         return self._bucket_postings(bucket).get(term, [])
 
     def _decoded_postings(self, term: str) -> tuple:
         """(doc_ids int64[n], weights float64[n,4]) across all
-        salts/blocks of *term*, decoded once and LRU-cached."""
+        salts/blocks of *term*, decoded + weighted once and
+        LRU-cached."""
         hit = self._decoded.get(term)
         if hit is not None:
             self._decoded.move_to_end(term)
             return hit
+        bucket = spark_term_bucket(term, self.n_buckets)
+        df = self._bucket_dfs(bucket).get(term, 0)
         ids_l, w_l = [], []
-        for _salt, blocks in self._postings(term):
-            for blk in blocks:
-                n = int(blk["n"])
-                data = bytes(blk["data"])
-                deltas, off = codec.decode_varints(data, n)
-                ids_l.append(np.cumsum(deltas.astype(np.int64)))
-                _, off2 = codec.decode_varints(data, n, off)
-                w_l.append(np.frombuffer(
-                    data, dtype=np.float64,
-                    count=n * codec.N_WEIGHTS, offset=off2,
-                ).reshape((n, codec.N_WEIGHTS), order="F"))
+        if df:
+            idf_v = float(scoring.idf(self.n_docs, df))
+            bidf_v = float(scoring.bm25_idf(self.n_docs, df))
+            for _salt, blocks in self._postings(term):
+                for blk in blocks:
+                    ids, tfs, dls, mtfs = codec.unpack_block(
+                        bytes(blk["data"]), int(blk["n"]))
+                    ids_l.append(ids)
+                    w_l.append(scoring.posting_weights(
+                        tfs, dls, mtfs, idf_v, bidf_v, self.avgdl,
+                        self.k1, self.b))
         if ids_l:
             out = (np.concatenate(ids_l), np.vstack(w_l))
         else:
-            out = (np.zeros(0, dtype=np.int64),
-                   np.zeros((0, codec.N_WEIGHTS)))
+            out = (np.zeros(0, dtype=np.int64), np.zeros((0, 4)))
         self._decoded[term] = out
         if len(self._decoded) > self._max_decoded:
             self._decoded.popitem(last=False)
@@ -116,7 +159,10 @@ class LocalSearcher:
     def _load_urls(self) -> np.ndarray:
         if self._urls is None:
             docs_dir = os.path.join(self._dir, "docs")
-            t = pq.read_table(docs_dir, columns=["doc_id", "url"])
+            # chunk filter: ignore partitions beyond this snapshot
+            # (streaming appends or a previous larger build)
+            t = pq.read_table(docs_dir, columns=["doc_id", "url"],
+                              filters=[("chunk", "<=", self.max_chunk)])
             urls = np.empty(self.n_docs + 1, dtype=object)
             ids = t.column("doc_id").to_numpy()
             for i, u in zip(ids, t.column("url").to_pylist()):
@@ -161,28 +207,12 @@ class LocalSearcher:
         ids, _w = self._decoded_postings(bool_query_term(word))
         return np.sort(ids)
 
-    def _eval(self, node, prec: np.ndarray) -> np.ndarray:
-        empty = np.zeros(0, dtype=np.int64)
-        if isinstance(node, Word):
-            return self._term_ids(node.w)
-        if isinstance(node, Not):
-            inner = self._eval(node.b, empty)
-            return np.setdiff1d(prec, inner, assume_unique=False)
-        if isinstance(node, And):
-            b1, b2 = node.b1, node.b2
-            if b1.is_not() and not b2.is_not():
-                b1, b2 = b2, b1
-            r1 = self._eval(b1, prec)
-            r2 = self._eval(b2, r1)
-            return np.intersect1d(r1, r2)
-        if isinstance(node, Or):
-            return np.union1d(self._eval(node.b1, prec),
-                              self._eval(node.b2, prec))
-        raise TypeError(node)
-
     def boolean_query(self, query: str) -> list[int]:
+        """Same set-algebra spec as the Spark path
+        (query_bool._eval_ast_numpy), over whole-corpus id arrays."""
         ast = parse_boolean(query)
         if ast is None:
             return []
         return [int(x) for x in
-                self._eval(ast, np.zeros(0, dtype=np.int64))]
+                _eval_ast_numpy(ast, self._term_ids,
+                                np.zeros(0, dtype=np.int64))]

@@ -44,36 +44,27 @@ def posting_list(draw):
 
 @given(posting_list())
 @settings(max_examples=50, deadline=None)
-def test_segment_block_roundtrip(pl):
+def test_v4_block_roundtrip_and_metadata(pl):
     ids, tfs = pl
     dls = tfs + 7
-    mtfs = np.maximum(tfs // 2, 1)
-    blocks = codec.pack_segment_postings(ids, tfs, dls, mtfs,
-                                         block_size=64)
-    got = [codec.unpack_segment_block(b["data"], b["n"]) for b in blocks]
-    assert (np.concatenate([g[0] for g in got]) == ids).all()
-    assert (np.concatenate([g[1] for g in got]) == tfs).all()
-    assert (np.concatenate([g[2] for g in got]) == dls).all()
-    assert (np.concatenate([g[3] for g in got]) == mtfs).all()
-    assert all(b["first_doc_id"] == int(u[0][0])
-               for b, u in zip(blocks, got))
-
-
-@given(posting_list(), st.data())
-@settings(max_examples=50, deadline=None)
-def test_final_block_roundtrip_and_maxes(pl, data):
-    ids, tfs = pl
-    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
-    w = rng.standard_normal((ids.size, codec.N_WEIGHTS))
-    blocks = codec.pack_final_postings(ids, tfs, w, block_size=32)
+    mtfs = np.maximum(tfs, 1)  # doc max_tf >= tf by definition
+    blocks = codec.pack_postings(ids, tfs, dls, mtfs, block_size=32)
     off = 0
     for b in blocks:
-        gids, gtfs, gw = codec.unpack_final_block(b["data"], b["n"])
         n = b["n"]
+        gids, gtfs, gdls, gmtfs = codec.unpack_block(b["data"], n)
         assert (gids == ids[off:off + n]).all()
         assert (gtfs == tfs[off:off + n]).all()
-        assert (gw == w[off:off + n]).all()
-        assert b["max_w_raw"] == w[off:off + n, 0].max()
-        assert b["max_bm25"] == w[off:off + n, 3].max()
+        assert (gdls == dls[off:off + n]).all()
+        assert (gmtfs == mtfs[off:off + n]).all()
+        # ids-only fast path (WAND pass 1) agrees
+        assert (codec.unpack_block_ids(b["data"], n) == gids).all()
+        # blocks decode independently: first id stored raw
+        assert b["first_doc_id"] == int(ids[off])
+        # idf-independent block metadata is exact
+        assert b["max_tf"] == int(tfs[off:off + n].max())
+        assert b["min_dl"] == int(dls[off:off + n].min())
+        assert b["max_ratio"] == float(
+            (tfs[off:off + n] / mtfs[off:off + n]).max())
         off += n
     assert off == ids.size

@@ -11,7 +11,7 @@ from rechercheinfoweb_spark.operators.index_build import build_index
 
 def _postings_fingerprint(spark, out_dir: str):
     rows = (spark.read.parquet(f"{out_dir}/postings")
-            .select("term", "salt", "df", "idf", "bm25_idf", "blocks")
+            .select("term", "salt", "df_part", "min_doc_id", "blocks")
             .orderBy("term", "salt").collect())
     return hash(str(rows))
 
@@ -24,9 +24,10 @@ def test_df_and_stats_match_oracle(spark, reader, oracle_index):
                   .alias("df")).collect()}
     exp_df = {t: len(pl) for t, pl in oracle_index.postings.items()}
     assert got_df == exp_df
-    # the stored per-row df column agrees with the recount
+    # the dictionary table's global df agrees with the block recount
     stored = {r["term"]: r["df"] for r in
-              postings.select("term", "df").distinct().collect()}
+              spark.read.parquet(reader.paths.dictionary)
+              .select("term", "df").collect()}
     assert stored == exp_df
 
     stats = spark.read.parquet(reader.paths.corpus_stats).collect()[0]

@@ -17,7 +17,10 @@ def _plan(df) -> str:
 
 def test_postings_scan_prunes_and_pushes(reader):
     plan = _plan(reader.postings_for(["search", "engine"]))
-    assert "PartitionFilters: [bucket" in plan
+    # partition pruning on BOTH physical partition keys: bucket
+    # (term routing) and salt (snapshot pinning)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and "salt" in pf, pf
     assert "PushedFilters: [In(term" in plan
 
 
