@@ -82,32 +82,49 @@ def pr_points(results: DataFrame, qrels: DataFrame) -> DataFrame:
 
 
 def interpolate(points: DataFrame) -> DataFrame:
-    """V2: add ``p_interp`` = running max of precision from the
-    high-recall end (precision_recall.go:271-284)."""
+    """V2 (textbook variant, used for plots/inspection): add
+    ``p_interp`` = running max of precision from the high-recall end.
+    NOTE: the reference's own curve function uses a STRICT
+    ``recall > r`` comparison (funcFromPoints,
+    precision_recall.go:271-284); the reference-parity path below
+    (:func:`average_curve`) implements that directly and does not go
+    through this column."""
     w = (Window.partitionBy("qid").orderBy(F.desc("recall"))
          .rowsBetween(Window.unboundedPreceding, 0))
     return points.withColumn("p_interp", F.max("precision").over(w))
 
 
+def valid_qids(points: DataFrame) -> DataFrame:
+    """Queries that survive the reference's skip rule: a query needs
+    >= 2 P/R points to produce a curve (precision_recall.go:154-157
+    ``len(pts) < 2 → continue``); 0- and 1-point queries are dropped
+    from the average, exactly as the reference drops them."""
+    return (points.groupBy("qid").agg(F.count("*").alias("np"))
+            .where(F.col("np") >= 2).select("qid"))
+
+
 def average_curve(points: DataFrame, n_samples: int = N_SAMPLES
                   ) -> DataFrame:
-    """V3 curve: sample each query's interpolated step function at
-    ``n_samples`` uniform recall values, then average over queries.
+    """V3 curve, reference-parity semantics (precision_recall.go):
+
+      * sample grid r = i/n_samples for i in 0..n_samples-1 — the
+        reference's getMAP samples ``i/256`` and never reaches 1.0;
+      * P_interp(r) = max{ precision(pt) : recall(pt) > r } with a
+        STRICT comparison (funcFromPoints), 0 when no point remains;
+      * averaged over the queries that pass the >=2-point skip rule
+        (:func:`valid_qids`) — NOT over all judged queries.
+
     Returns (r, avg_p_interp) with n_samples rows."""
     spark = points.sparkSession
-    interp = interpolate(points)
     grid = spark.range(n_samples).select(
-        (F.col("id") / F.lit(float(n_samples - 1))).alias("r"))
-    qids = points.select("qid").distinct()
-    # P_interp(r) = max precision among points with recall >= r,
-    # else 0 (query never reaches recall r).
-    per_q = (qids.crossJoin(grid)
-             .join(interp.select(F.col("qid").alias("pqid"),
-                                 "recall", "p_interp"),
+        (F.col("id") / F.lit(float(n_samples))).alias("r"))
+    per_q = (valid_qids(points).crossJoin(grid)
+             .join(points.select(F.col("qid").alias("pqid"),
+                                 "recall", "precision"),
                    on=[F.col("qid") == F.col("pqid"),
-                       F.col("recall") >= F.col("r")], how="left")
+                       F.col("recall") > F.col("r")], how="left")
              .groupBy("qid", "r")
-             .agg(F.coalesce(F.max("p_interp"), F.lit(0.0))
+             .agg(F.coalesce(F.max("precision"), F.lit(0.0))
                   .alias("p_at_r")))
     return (per_q.groupBy("r")
             .agg(F.avg("p_at_r").alias("avg_p_interp"))
@@ -117,7 +134,8 @@ def average_curve(points: DataFrame, n_samples: int = N_SAMPLES
 def mean_average_precision(points: DataFrame,
                            n_samples: int = N_SAMPLES) -> float:
     """V3 MAP: mean of the averaged interpolated curve's samples
-    (precision_recall.go:309-316)."""
+    (precision_recall.go:309-316), reference-parity semantics per
+    :func:`average_curve`."""
     curve = average_curve(points, n_samples)
     row = curve.agg(F.avg("avg_p_interp").alias("m")).collect()[0]
     return float(row["m"] or 0.0)
@@ -171,16 +189,20 @@ def evaluate_engine(spark: SparkSession, index_dir,
                     oracle_index=None,
                     schemes: tuple[str, ...] = ("raw", "norm", "half",
                                                 "bm25"),
-                    k: int = 20) -> dict:
+                    k: int = 20, stopwords=None) -> dict:
     """Full eval run: per scheme, batch top-k → MAP (+ optional
-    rank-identical match rate vs the oracle)."""
+    rank-identical match rate vs the oracle).  ``stopwords`` must be
+    the set the index was built with (e.g. the real CACM
+    common-words list for the reference eval set)."""
+    from ..functions.tokenizer import STOPWORDS
     from .query_vector import vector_topk_batch
 
+    sw = STOPWORDS if stopwords is None else stopwords
     qdf = qrels_df(spark, qrels)
     out: dict[str, dict] = {}
     for scheme in schemes:
         results = vector_topk_batch(spark, index_dir, queries,
-                                    scheme=scheme, k=k)
+                                    scheme=scheme, k=k, stopwords=sw)
         results = results.persist()
         pts = pr_points(results, qdf)
         entry: dict = {"map": mean_average_precision(pts)}

@@ -22,7 +22,10 @@ def eval_set(oracle_index):
 
 def _py_map(ranked: dict[int, list[int]], qrels: dict[int, set[int]],
             n_samples: int = evaluate.N_SAMPLES) -> float:
-    """Reference math (precision_recall.go:129-178,271-316), no Spark."""
+    """Reference math (precision_recall.go:129-178,271-316), no
+    Spark: strict ``recall > r`` interpolation (funcFromPoints), the
+    ``i/256`` sample grid (getMAP, never reaching 1.0), and the
+    <2-point query skip rule (Draw)."""
     curves = []
     for qid, rels in qrels.items():
         pts = []  # (recall, precision)
@@ -31,11 +34,12 @@ def _py_map(ranked: dict[int, list[int]], qrels: dict[int, set[int]],
             if d in rels:
                 hits += 1
                 pts.append((hits / len(rels), hits / (i + 1)))
-        curves.append(pts)
-    samples = np.linspace(0.0, 1.0, n_samples)
+        if len(pts) >= 2:  # reference skip rule
+            curves.append(pts)
+    samples = [i / n_samples for i in range(n_samples)]
     per_q = []
     for pts in curves:
-        p_at = [max((p for r, p in pts if r >= s), default=0.0)
+        p_at = [max((p for r, p in pts if r > s), default=0.0)
                 for s in samples]
         per_q.append(p_at)
     return float(np.mean(np.mean(np.array(per_q), axis=0)))
