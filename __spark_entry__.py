@@ -235,6 +235,29 @@ def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_pair_docs(spark, sf_dir), radius=6)
 
 
+def _sql_simhash(doc_filter: str = "") -> str:
+    """DuckDB twin of dedup._simhash_kernel: md5-first-8-bytes token
+    hashes, per-bit majority vote, signed-64 assembly (bit 63 via
+    -2^63 so the arithmetic stays in BIGINT)."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64))
+    sim = " + ".join(
+        [f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END"
+         for j in range(63)]
+        + ["CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"])
+    return f"""
+        toks AS (SELECT DISTINCT doc_id, lower(term) AS term
+                 FROM ({_SQL_TOKS_NE}) {doc_filter}),
+        hv_t AS (SELECT doc_id,
+                        ('0x' || substr(md5(term), 1, 16))::UBIGINT
+                            AS hv
+                 FROM toks),
+        votes_t AS (SELECT doc_id, {votes} FROM hv_t GROUP BY doc_id),
+        sim_t AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+                  FROM votes_t)"""
+
+
 def _q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -245,6 +268,21 @@ def _q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return similarity.lsh_ann_topk(emb, [float(x) for x in qv], k=20)
+
+
+def _q_ann_index(spark, sf_dir):
+    """Materialized ANN index path: build once per sf_dir (bucket-
+    partitioned vectors), probe via partition-pruned read."""
+    import hashlib
+    import tempfile
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"riw_ann_{key}")
+    emb = _emb(spark, sf_dir)
+    if not os.path.exists(os.path.join(out, "ann_meta.json")):
+        similarity.build_ann_index(spark, emb, out)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.ann_index_topk(spark, out,
+                                     [float(x) for x in qv], k=20)
 
 
 def _q_embed_near_pairs(spark, sf_dir):
@@ -405,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_index_topk": _q_ann_index,
         "dd_embed_near_pairs": _q_embed_near_pairs,
         "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
         "ev_hourly": _q_events_hourly,
@@ -598,6 +637,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
                   >= 0.15""",
+        "dd_simhash": f"""
+            WITH {_sql_simhash()}
+            SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sim_t s USING (doc_id)""",
+        "dd_simhash_pairs": f"""
+            WITH {_sql_simhash(f"WHERE doc_id < {PAIR_DOC_LIMIT}")},
+            pd AS (SELECT doc_id FROM documents
+                   WHERE doc_id < {PAIR_DOC_LIMIT}),
+            s AS (SELECT d.doc_id, coalesce(t.simhash, 0) AS simhash
+                  FROM pd d LEFT JOIN sim_t t USING (doc_id))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0),

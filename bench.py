@@ -87,8 +87,20 @@ def main() -> None:
                           n_buckets=32)
     pages.unpersist()
     extra["build_docs_per_sec"] = round(res.n_docs / timings["index_build"], 1)
+    # layout v4: a refresh (re-finalize after appended chunks) is
+    # metadata-only — dictionary + corpus_stats, no posting bytes
+    from rechercheinfoweb_spark.operators.index_build import (
+        finalize_index,
+    )
+    with timed("refresh_metadata_only"):
+        finalize_index(spark, out, n_buckets=32)
 
     reader = IndexReader(spark, out)
+    # steady-state query latency: spin up Python workers / codegen
+    # once (serving processes are long-lived; cold-start is a
+    # session cost, not a per-query cost)
+    vector_topk(spark, reader, "warm up", "bm25", k=5).collect()
+    boolean_search(spark, reader, "warm AND up").collect()
     with timed("bm25_wand_topk"):
         for q in ("search engine ranking", "Spark shuffle partition",
                   "varint delta BM25 WAND"):
@@ -131,6 +143,13 @@ def main() -> None:
         similarity.cosine_topk(emb, qv, k=20).collect()
     with timed("ann_lsh"):
         similarity.lsh_ann_topk(emb, qv, k=20).collect()
+    ann_dir = "/tmp/riw_bench_ann"
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    with timed("ann_index_build"):
+        similarity.build_ann_index(spark, emb, ann_dir)
+    similarity.ann_index_topk(spark, ann_dir, qv, k=20).collect()
+    with timed("ann_index_probe"):
+        similarity.ann_index_topk(spark, ann_dir, qv, k=20).collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -64,14 +64,18 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
-                      bands: int = LSH_BANDS) -> DataFrame:
+                      bands: int = LSH_BANDS,
+                      max_bucket: int | None = 1000) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band.
 
     Scale shape: explode to (band_id, band_hash, doc_id), self-join
     on the band key.  Bucket sizes are bounded by similarity
-    structure, not corpus size; a pathological hot bucket (e.g. the
-    empty-document bucket) should be dropped by a count filter —
-    exposed as ``max_bucket`` here."""
+    structure, not corpus size — EXCEPT for degenerate content
+    (empty docs, boilerplate): one such bucket goes quadratic at
+    100 TB.  ``max_bucket`` drops buckets above the cap before the
+    self-join (a broadcast anti-join against the tiny hot-bucket
+    list); members of a dropped bucket still pair through their
+    other, discriminative bands.  ``None`` disables the guard."""
     sigs = minhash_signatures(docs, k)
     rows_per_band = k // bands
     band_cols = [
@@ -88,6 +92,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
                      F.col(f"band{b}").alias("band_hash"))
             for b in range(bands)])).alias("bb")
     ).select("doc_id", "bb.band_id", "bb.band_hash")
+    if max_bucket is not None:
+        hot = (exploded.groupBy("band_id", "band_hash")
+               .agg(F.count("*").alias("c"))
+               .where(F.col("c") > max_bucket)
+               .select("band_id", "band_hash"))
+        exploded = exploded.join(F.broadcast(hot),
+                                 ["band_id", "band_hash"], "left_anti")
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     pairs = (a.join(b_, ["band_id", "band_hash"])
@@ -111,15 +122,28 @@ def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle join.
 
     |A∩B| from the join, |A| and |B| from per-doc shingle counts;
     J = inter / (|A| + |B| − inter).  The shingle join is the same
-    shape as the LSH band join — linear in total shingle postings."""
+    shape as the LSH band join — linear in total shingle postings
+    for discriminative shingles, but a shingle shared by d docs
+    yields d² join rows: boilerplate shingles go quadratic at scale.
+    ``max_shingle_df`` drops shingles with document frequency above
+    the cap BEFORE sizes and the join (so J is computed consistently
+    over the retained shingle sets — hot shingles carry almost no
+    near-dup signal).  Default None = exact Jaccard; at 100 TB run
+    this as the LSH-candidate verify step and/or set a cap."""
     # the shingle relation feeds three plan branches (sizes ×2 +
     # intersection join) — persist it or it re-tokenizes three times
-    sh = ngram_shingles(docs, n).persist()
+    sh = ngram_shingles(docs, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("c"))
+               .where(F.col("c") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "shingle")
@@ -143,7 +167,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 def _simhash_kernel():
     """mapInPandas: (doc_id, text) → 64-bit simhash from md5-derived
-    per-token hashes, numpy-vectorized bit voting."""
+    per-token hashes, numpy-vectorized bit voting.
+
+    The token universe is the set of LOWERCASED tokens (one vote per
+    distinct lowercased token — the DuckDB oracle computes the same
+    with DISTINCT lower(term)).  Per-token md5 is memoized across
+    the whole partition: Zipf vocabularies make the hit rate ~100%,
+    so the hash cost is ~|vocab|, not ~|tokens|."""
     import hashlib
 
     from .textstats import SQL_TOKEN_SPLIT
@@ -152,17 +182,23 @@ def _simhash_kernel():
 
     def fn(batches):
         import pandas as pd
+        cache: dict[str, int] = {}
+
+        def h64(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = cache[tok] = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+            return v
+
         for pdf in batches:
             out_id, out_h = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in splitter.split(text or "") if t]
+                toks = {t.lower() for t in splitter.split(text or "")
+                        if t}
                 if not toks:
                     out_id.append(doc_id); out_h.append(0); continue
-                hs = np.array(
-                    [int.from_bytes(
-                        hashlib.md5(t.lower().encode()).digest()[:8],
-                        "big") for t in set(toks)],
-                    dtype=np.uint64)
+                hs = np.array([h64(t) for t in toks], dtype=np.uint64)
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
                         & np.uint64(1)).astype(np.int64)
                 votes = (2 * bits - 1).sum(axis=0)
@@ -181,20 +217,38 @@ def simhash(docs: DataFrame) -> DataFrame:
         _simhash_kernel(), schema="doc_id long, simhash long")
 
 
-def simhash_near_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ radius.
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_chunks contiguous (shift, width) spans."""
+    base, rem = divmod(64, n_chunks)
+    bounds, pos = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        bounds.append((pos, width))
+        pos += width
+    return bounds
 
-    Scale shape: 4-way 16-bit chunk blocking (two fingerprints within
-    hamming ≤ 3 must agree on at least one of 4 chunks) → self-join
-    per chunk, exact hamming check after."""
+
+def simhash_near_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ radius — EXACT recall.
+
+    Scale shape: (radius+1)-way chunk blocking — two fingerprints
+    within hamming ≤ r differ in ≤ r chunks, so by pigeonhole they
+    AGREE on at least one of r+1 disjoint chunks → self-join per
+    chunk, exact hamming check after.  (A fixed 4-chunk split only
+    guarantees recall for radius ≤ 3; the chunk count now follows
+    the radius so the guarantee holds for any radius ≤ 63.)"""
+    if not 0 <= radius <= 63:
+        raise ValueError("radius must be in [0, 63]")
     sh = simhash(docs)
+    bounds = _chunk_bounds(radius + 1)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_id"),
-                     F.shiftrightunsigned("simhash", 16 * i)
-                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for i in range(4)])).alias("c")
+                     F.shiftrightunsigned("simhash", shift)
+                      .bitwiseAND(F.lit((1 << width) - 1))
+                      .alias("chunk"))
+            for i, (shift, width) in enumerate(bounds)])).alias("c")
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, ["chunk_id", "chunk"])

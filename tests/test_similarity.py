@@ -41,6 +41,24 @@ def test_exact_near_dup_pairs(clustered_emb):
     assert not cross
 
 
+def test_ann_index_matches_oneshot(spark, clustered_emb,
+                                   tmp_path_factory):
+    """The materialized index probe returns exactly what the
+    one-shot LSH path returns (same planes → same buckets → same
+    candidates → same exact re-rank)."""
+    out = str(tmp_path_factory.mktemp("ann_idx"))
+    similarity.build_ann_index(spark, clustered_emb, out,
+                               n_planes=6, n_tables=8)
+    qv = clustered_emb.where("vec_id = 0").collect()[0]["embedding"]
+    a = [(r["vec_id"], r["cosine"]) for r in
+         similarity.lsh_ann_topk(clustered_emb, qv, k=10,
+                                 n_planes=6, n_tables=8).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in
+         similarity.ann_index_topk(spark, out, qv, k=10).collect()]
+    assert a == b and len(a) > 0
+    assert a[0][0] == 0  # the query vector itself is its own top-1
+
+
 def test_lsh_near_dup_recall(clustered_emb):
     truth = {(r["id_a"], r["id_b"]) for r in
              similarity.embedding_near_dup_pairs(
