@@ -153,6 +153,67 @@ def pack_postings(doc_ids, tfs, dls, max_tfs,
     return blocks
 
 
+def pack_group_postings(terms: np.ndarray, doc_ids, tfs, dls, max_tfs,
+                        block_size: int = DEFAULT_BLOCK):
+    """Pack MANY posting lists at once: rows sorted by (term,
+    doc_id) → (uniq_terms, df_part, min_doc_id, blocks-per-term).
+
+    Byte-identical to calling :func:`pack_postings` per term, but
+    the four varint streams are encoded ONCE over the whole group
+    (delta chains reset at every block start, where each term's
+    first row is itself a block start) and per-block payloads are
+    buffer slices.  A realistic web build packs 10^5-10^6 terms per
+    task; per-term pack calls cost ~8 small-array numpy dispatches
+    each, which dominated the pack stage — this is the same work in
+    ~12 large-array dispatches per task."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    tf = np.asarray(tfs, dtype=np.int64)
+    dl = np.asarray(dls, dtype=np.int64)
+    mtf = np.asarray(max_tfs, dtype=np.int64)
+    n = ids.size
+    uniq, tstarts, counts = np.unique(terms, return_index=True,
+                                      return_counts=True)
+    if n == 0:
+        return uniq, counts, ids, []
+    # block starts: every term's start + every block_size-th row
+    # within its segment (blocks never span terms because each
+    # term start is a block start)
+    rel = np.arange(n, dtype=np.int64) - np.repeat(tstarts, counts)
+    bstarts = np.nonzero(rel % block_size == 0)[0]
+    deltas = _deltas(ids)
+    deltas[bstarts] = ids[bstarts]
+    id_buf, id_ends = encode_varints_ex(deltas)
+    tf_buf, tf_ends = encode_varints_ex(tf)
+    dl_buf, dl_ends = encode_varints_ex(dl)
+    mtf_buf, mtf_ends = encode_varints_ex(mtf)
+    id_b = np.concatenate(([0], id_ends))
+    tf_b = np.concatenate(([0], tf_ends))
+    dl_b = np.concatenate(([0], dl_ends))
+    mtf_b = np.concatenate(([0], mtf_ends))
+    bounds = np.append(bstarts, n)
+    max_tf_blk = np.maximum.reduceat(tf, bstarts)
+    min_dl_blk = np.minimum.reduceat(dl, bstarts)
+    max_ratio_blk = np.maximum.reduceat(tf / mtf, bstarts)
+    # term index of each block → emit per-term lists in one sweep
+    block_term = np.searchsorted(tstarts, bstarts, side="right") - 1
+    per_term: list[list[dict]] = [[] for _ in range(uniq.size)]
+    first_ids = ids[bstarts]
+    for bi in range(bstarts.size):
+        lo = int(bounds[bi]); hi = int(bounds[bi + 1])
+        per_term[block_term[bi]].append({
+            "first_doc_id": int(first_ids[bi]),
+            "n": hi - lo,
+            "max_tf": int(max_tf_blk[bi]),
+            "min_dl": int(min_dl_blk[bi]),
+            "max_ratio": float(max_ratio_blk[bi]),
+            "data": (id_buf[id_b[lo]:id_b[hi]]
+                     + tf_buf[tf_b[lo]:tf_b[hi]]
+                     + dl_buf[dl_b[lo]:dl_b[hi]]
+                     + mtf_buf[mtf_b[lo]:mtf_b[hi]]),
+        })
+    return uniq, counts, ids[tstarts], per_term
+
+
 def unpack_block_ids(data: bytes, n: int) -> np.ndarray:
     """Decode only the docIDs of one block (WAND pass 1 — upper
     bounds come from block metadata, no statistics decode)."""

@@ -32,14 +32,28 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 2 hashes per band with k=8
 
 
-def exact_dedup(docs: DataFrame) -> DataFrame:
+def exact_dedup(docs: DataFrame, max_ids: int = 1024) -> DataFrame:
     """Groups of byte-identical texts: (exact_md5, n_dups, keep_id =
-    min doc_id, dup_ids sorted)."""
-    return (docs.select("doc_id", F.md5("text").alias("h"))
-            .groupBy("h")
+    min doc_id, doc_ids = first ``max_ids`` members sorted).
+
+    n_dups/keep_id are exact at any group size; the id sample is
+    capped BEFORE aggregation (rank window + conditional collect, so
+    no agg buffer ever holds more than ``max_ids`` ids) because a
+    mega-dup group (a boilerplate page duplicated 10^7 times at
+    100 TB) would otherwise materialize an unbounded array.
+    Deletion pipelines join back on ``h`` anyway; the sample is for
+    inspection.  The window and the groupBy share the ``h``
+    partitioning — one shuffle total."""
+    from pyspark.sql.window import Window
+    ranked = (docs.select("doc_id", F.md5("text").alias("h"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("h").orderBy("doc_id"))))
+    return (ranked.groupBy("h")
             .agg(F.count("*").alias("n_dups"),
                  F.min("doc_id").alias("keep_id"),
-                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("rn") <= max_ids, F.col("doc_id"))
+                 )).alias("doc_ids"))
             .where(F.col("n_dups") > 1))
 
 

@@ -281,28 +281,20 @@ def _pack_postings_kernel(block_size: int):
     def fn(pdf):
         import pandas as pd
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["dl"].to_numpy()
-        mtfs = pdf["max_tf"].to_numpy()
         chunk = int(pdf["chunk"].iloc[0])
         bucket = int(pdf["tbucket"].iloc[0])
-        uniq, starts = np.unique(terms, return_index=True)
-        bounds = np.append(starts, terms.size)
-        out = {"term": [], "bucket": [], "salt": [], "df_part": [],
-               "min_doc_id": [], "blocks": []}
-        for i, term in enumerate(uniq):
-            lo, hi = bounds[i], bounds[i + 1]
-            out["term"].append(term)
-            out["bucket"].append(bucket)
-            out["salt"].append(chunk)
-            out["df_part"].append(int(hi - lo))
-            out["min_doc_id"].append(int(ids[lo]))
-            out["blocks"].append(codec.pack_postings(
-                ids[lo:hi], tfs[lo:hi], dls[lo:hi], mtfs[lo:hi],
-                block_size=block_size))
-        return pd.DataFrame(out)
+        uniq, df_part, min_ids, blocks = codec.pack_group_postings(
+            pdf["term"].to_numpy(), pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(), pdf["dl"].to_numpy(),
+            pdf["max_tf"].to_numpy(), block_size=block_size)
+        return pd.DataFrame({
+            "term": uniq,
+            "bucket": np.full(uniq.size, bucket, dtype=np.int32),
+            "salt": np.full(uniq.size, chunk, dtype=np.int32),
+            "df_part": df_part.astype(np.int64),
+            "min_doc_id": min_ids.astype(np.int64),
+            "blocks": blocks,
+        })
 
     return fn
 
@@ -523,6 +515,20 @@ def build_index(
     ids_map = spark.read.parquet(paths.url_map)
     staged_all = pages.join(F.broadcast(ids_map), "url")
     par = spark.sparkContext.defaultParallelism
+    # dynamic partition overwrite is only needed when this write
+    # must coexist with partitions from other chunk groups (resume,
+    # chunk batching); a fresh single-shot build writes into dirs
+    # stage 0 just cleared, and the dynamic commit's per-partition
+    # file moves cost ~15 s of driver-serial time at 256 partitions
+    one_shot = (not resumed and len(missing) == n_chunks
+                and batch >= len(missing))
+
+    def _writer(df):
+        w = df.write
+        if not one_shot:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        return w.mode("overwrite")
+
     for gi in range(0, len(missing), batch):
         group = missing[gi:gi + batch]
         ts = time.time()
@@ -543,9 +549,17 @@ def build_index(
                   .repartition(par, "doc_id")
                   .mapInPandas(_doc_stats_kernel(stopwords),
                                schema=DOC_STATS_SCHEMA))
-        (docs_g.write.partitionBy("chunk")
-         .option("partitionOverwriteMode", "dynamic")
-         .mode("overwrite").parquet(paths.docs))
+        _writer(docs_g.select(*DOC_STATS_SCHEMA.fieldNames())) \
+            .partitionBy("chunk").parquet(paths.docs)
+        # explicit repartition on the exact group keys before
+        # applyInPandas: the existing HashPartitioning satisfies the
+        # grouping requirement, so this IS the one shuffle — at a
+        # partition count pinned to a multiple of the core count.
+        # (Left to AQE, the coalesced pack stage landed at ~1.5
+        # waves — e.g. 12 tasks on 8 cores — and the straggler tail
+        # ran half the machine idle; a fixed whole-wave count keeps
+        # the stage even at every parallelism, which the N-vs-4N
+        # scaling measurement is directly sensitive to.)
         postings_g = (
             staged_g.select("doc_id", "chunk", "text")
             .repartition(par, "doc_id")
@@ -553,19 +567,24 @@ def build_index(
                          schema=TERM_ROWS_SCHEMA)
             .withColumn("tbucket",
                         term_bucket(F.col("term"), n_buckets))
+            .repartition(4 * par, "chunk", "tbucket")
             .groupBy("chunk", "tbucket")
             .applyInPandas(_pack_postings_kernel(block_size),
                            schema=POSTINGS_SCHEMA)
         )
-        (postings_g.write.partitionBy("bucket", "salt")
-         .option("partitionOverwriteMode", "dynamic")
-         .mode("overwrite").parquet(paths.postings))
+        _writer(postings_g).partitionBy("bucket", "salt") \
+            .parquet(paths.postings)
         wall = time.time() - ts
+        # per-chunk doc counts in ONE footer-metadata job (a count
+        # job per chunk added ~0.3 s of driver latency each)
+        counts_g = {r["chunk"]: r["n"] for r in
+                    spark.read.option("basePath", paths.docs)
+                    .parquet(*[os.path.join(paths.docs, f"chunk={c}")
+                               for c in group])
+                    .groupBy("chunk")
+                    .agg(F.count("*").alias("n")).collect()}
         for c in group:
-            # count from the written files' parquet footers (metadata
-            # only), also validating the chunk dir exists
-            n_docs_c = spark.read.parquet(
-                os.path.join(paths.docs, f"chunk={c}")).count()
+            n_docs_c = counts_g.get(c, 0)
             write_manifest(out_dir, f"chunk-{c:04d}", {
                 "fingerprint": fingerprint,
                 "chunk": c, "n_docs": n_docs_c,

@@ -123,6 +123,11 @@ def main() -> int:
                          "instead of pinned local[N]")
     ap.add_argument("--executor-cores", type=int, default=8)
     ap.add_argument("--n-chunks", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="children per config; best build time wins "
+                         "(single runs on this VM vary up to ~1.8x "
+                         "— writeback/host noise — which would "
+                         "dominate the efficiency ratio)")
     ap.add_argument("--update-baseline", action="store_true")
     ap.add_argument("--child", type=int, default=None,
                     help=argparse.SUPPRESS)
@@ -146,7 +151,7 @@ def main() -> int:
         runs = [("executors", int(e)) for e in args.executors.split(",")]
     else:
         runs = [("cores", int(c)) for c in args.cores.split(",")]
-    for kind, n in runs:
+    for kind, n in runs * args.repeats:
         print(f"-- build at {kind}={n} ...", file=sys.stderr)
         # drop the previous run's output and let its dirty pages
         # flush — back-to-back builds otherwise contend on writeback
@@ -186,6 +191,13 @@ def main() -> int:
         results.append(json.loads(line[-1]))
         print(f"   {results[-1]}", file=sys.stderr)
 
+    # best run per config (see --repeats)
+    best: dict[int, dict] = {}
+    for r in results:
+        if (r["cores"] not in best
+                or r["build_secs"] < best[r["cores"]]["build_secs"]):
+            best[r["cores"]] = r
+    results = [best[c] for c in sorted(best)]
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio

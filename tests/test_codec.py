@@ -42,6 +42,39 @@ def posting_list(draw):
     return ids, tfs
 
 
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_group_pack_equals_per_term_pack(data):
+    """pack_group_postings (one whole-group encode) must be
+    byte-identical to pack_postings per term."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    n_terms = data.draw(st.integers(1, 12))
+    terms_l, ids_l, tfs_l = [], [], []
+    for t in range(n_terms):
+        n = int(rng.integers(1, 90))
+        ids = np.cumsum(rng.integers(1, 50, size=n))
+        terms_l.extend([f"t{t:03d}"] * n)
+        ids_l.append(ids)
+        tfs_l.append(rng.integers(1, 30, size=n))
+    terms = np.array(terms_l)
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    dls = tfs + 5
+    mtfs = tfs + rng.integers(0, 4, size=tfs.size)
+    uniq, dfp, minids, blocks = codec.pack_group_postings(
+        terms, ids, tfs, dls, mtfs, block_size=32)
+    assert list(uniq) == sorted({t for t in terms})
+    off = 0
+    for i, term in enumerate(uniq):
+        n = int(dfp[i])
+        want = codec.pack_postings(ids[off:off + n], tfs[off:off + n],
+                                   dls[off:off + n], mtfs[off:off + n],
+                                   block_size=32)
+        assert blocks[i] == want, term
+        assert minids[i] == ids[off]
+        off += n
+
+
 @given(posting_list())
 @settings(max_examples=50, deadline=None)
 def test_v4_block_roundtrip_and_metadata(pl):
