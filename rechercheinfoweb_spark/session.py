@@ -10,16 +10,19 @@ from pyspark.sql import SparkSession
 def _default_driver_memory(master: str) -> str:
     """Size the local-mode heap to the task-thread count.
 
-    local[N] runs N concurrent task threads in ONE JVM; an 8g heap
-    that is fine at local[8] thrashes GC at local[32] (measured: the
-    same 120k-doc build took 88s at 8g vs 57s at 48g).  ~1.5g per
-    task thread + base, capped below machine RAM.
+    local[N] runs N concurrent task threads in ONE JVM, so the heap
+    must scale with N at a CONSTANT per-core rate — like a real
+    cluster provisions executor memory per core — or the high-N
+    config GC-thrashes and any N-vs-4N comparison measures garbage
+    collection, not scaling.  Measured on a 90k page-sized-doc
+    build at local[8]: 16g heap → 269 s, 48g → 164 s.  ~5g per task
+    thread + base, capped below machine RAM.
     """
     try:
         n = int(master[master.index("[") + 1:-1]) if "[" in master else 8
     except ValueError:  # local[*]
         n = os.cpu_count() or 8
-    return f"{min(96, max(8, int(1.5 * n) + 4))}g"
+    return f"{min(96, max(8, 5 * n + 4))}g"
 
 
 def get_spark(app_name: str = "rechercheinfoweb-spark",

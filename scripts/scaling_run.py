@@ -29,7 +29,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS_DIR = "/tmp/riw_scaling_corpus"
+# Everything the measured job touches (input corpus, shuffle local
+# dirs, index output) lives on tmpfs: this VM has ONE shared virtio
+# disk, so at high parallelism the build becomes disk-bound and the
+# N-vs-4N ratio measures the disk, not the engine (observed: per-core
+# throughput halved from 4 to 16 cores while pure-CPU and pure-RAM
+# probes scaled cleanly).  A real cluster's executors have node-local
+# disks whose aggregate bandwidth scales with N — tmpfs is the
+# faithful in-sandbox stand-in.  The disk also explains the ~1.8x
+# single-run variance (writeback), hence --repeats.
+SHM = "/dev/shm/riw_scaling"
+CORPUS_DIR = os.path.join(SHM, "corpus")
+LOCAL_DIR = os.path.join(SHM, "spark_local")
+IX_DIR = os.path.join(SHM, "ix")
 
 
 def _pkg_zip() -> str:
@@ -57,18 +69,21 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
     from rechercheinfoweb_spark.operators.index_build import build_index
     from rechercheinfoweb_spark.session import get_spark
 
+    os.makedirs(LOCAL_DIR, exist_ok=True)
     if executors is not None:
         zip_path = _pkg_zip()
         spark = get_spark(
             app_name=f"riw-scaling-{executors}x{exec_cores}",
             master=f"local-cluster[{executors},{exec_cores},10240]",
             shuffle_partitions=2 * executors * exec_cores,
-            extra_conf={"spark.executorEnv.PYTHONPATH": zip_path})
+            extra_conf={"spark.executorEnv.PYTHONPATH": zip_path,
+                        "spark.local.dir": LOCAL_DIR})
         spark.sparkContext.addPyFile(zip_path)
         cores = executors * exec_cores
     else:
         spark = get_spark(app_name=f"riw-scaling-{cores}",
-                          master=f"local[{cores}]")
+                          master=f"local[{cores}]",
+                          extra_conf={"spark.local.dir": LOCAL_DIR})
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -87,20 +102,28 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
 
 def gen_corpus(n_docs: int, tokens_lo: int, tokens_hi: int,
                vocab_size: int) -> str:
+    """Generate in a SUBPROCESS that fully exits: a py4j JVM
+    outlives spark.stop() in-process, and a lingering ~100g-heap JVM
+    in the parent measurably slowed the pinned children (239 s vs
+    137 s for the same 8-core build)."""
     marker = os.path.join(
         CORPUS_DIR, f"_N{n_docs}_L{tokens_lo}_{tokens_hi}_V{vocab_size}")
     if os.path.exists(marker):
         return CORPUS_DIR
-    from rechercheinfoweb_spark.session import get_spark
-    from rechercheinfoweb_spark.sources.web_pages import synthetic_web_pages
-
     shutil.rmtree(CORPUS_DIR, ignore_errors=True)
-    spark = get_spark(app_name="riw-scaling-gen")
-    spark.sparkContext.setLogLevel("ERROR")
-    synthetic_web_pages(spark, n_docs, tokens_lo=tokens_lo,
-                        tokens_hi=tokens_hi, vocab_size=vocab_size
-                        ).write.mode("overwrite").parquet(CORPUS_DIR)
-    spark.stop()
+    code = (
+        "from rechercheinfoweb_spark.session import get_spark\n"
+        "from rechercheinfoweb_spark.sources.web_pages import "
+        "synthetic_web_pages\n"
+        "spark = get_spark(app_name='riw-scaling-gen', "
+        "master='local[16]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"synthetic_web_pages(spark, {n_docs}, tokens_lo={tokens_lo}, "
+        f"tokens_hi={tokens_hi}, vocab_size={vocab_size}"
+        f").write.mode('overwrite').parquet({CORPUS_DIR!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], cwd=REPO, check=True)
     open(marker, "w").close()
     return CORPUS_DIR
 
@@ -139,7 +162,7 @@ def main() -> int:
     if args.child is not None or args.child_executors is not None:
         cores = args.child or (args.child_executors * args.executor_cores)
         child(cores, args.corpus,
-              f"/tmp/riw_scaling_ix_{cores}", args.n_chunks,
+              os.path.join(IX_DIR, str(cores)), args.n_chunks,
               executors=args.child_executors,
               exec_cores=args.executor_cores)
         return 0
@@ -153,12 +176,10 @@ def main() -> int:
         runs = [("cores", int(c)) for c in args.cores.split(",")]
     for kind, n in runs * args.repeats:
         print(f"-- build at {kind}={n} ...", file=sys.stderr)
-        # drop the previous run's output and let its dirty pages
-        # flush — back-to-back builds otherwise contend on writeback
-        # and distort the second measurement
-        for d in os.listdir("/tmp"):
-            if d.startswith("riw_scaling_ix_"):
-                shutil.rmtree(os.path.join("/tmp", d), ignore_errors=True)
+        # drop the previous run's output (tmpfs — no writeback, but
+        # keep shm usage bounded) and let any disk dirty pages flush
+        shutil.rmtree(IX_DIR, ignore_errors=True)
+        shutil.rmtree(LOCAL_DIR, ignore_errors=True)
         subprocess.run(["sync"], check=False)
         time.sleep(3)
         if kind == "executors":
