@@ -82,6 +82,8 @@ def main() -> None:
         pages = synthetic_web_pages(spark, n_corpus).persist()
         pages.count()
     extra["n_corpus_docs"] = n_corpus
+    extra["corpus_text_bytes"] = int(pages.agg(
+        F.sum(F.length("text"))).collect()[0][0])
 
     out = f"{work}/index"
     # let prior dirty pages flush so writeback doesn't distort timing
@@ -103,6 +105,17 @@ def main() -> None:
     )
     with timed("refresh_metadata_only"):
         finalize_index(spark, out, n_buckets=32)
+
+    def _du(path):
+        import pathlib
+        return sum(f.stat().st_size
+                   for f in pathlib.Path(path).rglob("*") if f.is_file())
+    # compression record (BASELINE.md target): v4 postings =
+    # delta+varint blocks inside zstd parquet
+    extra["postings_bytes"] = _du(f"{out}/postings")
+    extra["index_bytes_total"] = _du(out)
+    extra["postings_to_text_ratio"] = round(
+        extra["postings_bytes"] / extra["corpus_text_bytes"], 4)
 
     reader = IndexReader(spark, out)
     # steady-state query latency: spin up Python workers / codegen

@@ -78,6 +78,38 @@ def index_tokens_from_raw(raw: list[str],
     return out
 
 
+_MISS = object()
+
+
+def make_index_token_mapper(stopwords: frozenset[str] = STOPWORDS):
+    """Memoized twin of :func:`index_tokens_from_raw` for the build
+    kernels' hot loop: one dict probe per raw token instead of the
+    len/stopword/stem call chain (Zipf vocabularies make the hit
+    rate ~100%, so per-token cost collapses to a dict get).  The
+    memo maps raw token → filtered/stemmed term or None (dropped);
+    semantics are pinned by the golden-token and rank-identity
+    tests, which run both paths."""
+    memo: dict[str, str | None] = {}
+
+    def mapped(raw: list[str]) -> list[str]:
+        out = []
+        append = out.append
+        get = memo.get
+        for tok in raw:
+            r = get(tok, _MISS)
+            if r is _MISS:
+                if len(tok) < MIN_TOKEN_LEN or tok in stopwords:
+                    r = None
+                else:
+                    r = stem(tok) if len(tok) >= STEM_MIN_LEN else tok
+                memo[tok] = r
+            if r is not None:
+                append(r)
+        return out
+
+    return mapped
+
+
 def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS) -> list[str]:
     """Index-time pipeline: T1 charset → T4 len/stopword filter → T5 stem."""
     return index_tokens_from_raw(TOKEN_RE.findall(text), stopwords)

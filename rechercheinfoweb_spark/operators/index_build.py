@@ -66,7 +66,9 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec, scoring
-from ..functions.tokenizer import STOPWORDS, TOKEN_RE, index_tokens_from_raw
+from ..functions.tokenizer import (
+    STOPWORDS, TOKEN_RE, make_index_token_mapper,
+)
 from ..plans.checkpoints import (
     read_manifest, stage_complete, write_manifest,
 )
@@ -200,6 +202,7 @@ def _tokenize_counts_kernel(stopwords: frozenset[str],
     def fn(batches):
         import pandas as pd
         from collections import Counter
+        mapped = make_index_token_mapper(stopwords)
 
         def flush(terms, tfs, doc_meta):
             meta = np.asarray(doc_meta, dtype=np.int64)
@@ -220,8 +223,7 @@ def _tokenize_counts_kernel(stopwords: frozenset[str],
             for doc_id, chunk, text in zip(
                     pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
                     pdf["text"].tolist()):
-                counts = Counter(index_tokens_from_raw(
-                    TOKEN_RE.findall(text or ""), stopwords))
+                counts = Counter(mapped(TOKEN_RE.findall(text or "")))
                 vals = counts.values()
                 terms.extend(counts.keys())
                 tfs.extend(vals)
@@ -246,6 +248,7 @@ def _doc_stats_kernel(stopwords: frozenset[str]):
     def fn(batches):
         import pandas as pd
         from collections import Counter
+        mapped = make_index_token_mapper(stopwords)
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "chunk", "url", "lang",
                                    "dl", "max_tf", "n_raw")}
@@ -254,7 +257,7 @@ def _doc_stats_kernel(stopwords: frozenset[str]):
                     pdf["url"].tolist(), pdf["lang"].tolist(),
                     pdf["text"].tolist()):
                 raw = TOKEN_RE.findall(text or "")
-                counts = Counter(index_tokens_from_raw(raw, stopwords))
+                counts = Counter(mapped(raw))
                 out["doc_id"].append(doc_id)
                 out["chunk"].append(chunk)
                 out["url"].append(url)
