@@ -8,6 +8,7 @@ so we compare by url)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -81,6 +82,33 @@ def test_append_batch_idempotent(spark, tmp_path_factory):
     assert inc.append_batch(spark, pages, out, batch_id=0) is None
     i2 = inc.append_batch(spark, pages.limit(10), out, batch_id=1)
     assert i2["first_doc_id"] == 31 and i2["chunk"] == 1
+
+
+def test_append_batch_reconciles_after_crash(spark, tmp_path_factory):
+    """Crash window between the atomic registry commit and the
+    manifest write: on replay the registry's batch_id row is the
+    commit marker — the batch must NOT be re-appended (which would
+    duplicate every document under fresh ids), only the missing
+    manifest is reconciled."""
+    from rechercheinfoweb_spark.operators.index_build import IndexPaths
+    from rechercheinfoweb_spark.plans.checkpoints import read_manifest
+
+    out = str(tmp_path_factory.mktemp("crash_idx"))
+    pages = synthetic_web_pages(spark, 25)
+    inc.append_batch(spark, pages, out, batch_id=0)
+    # simulate the crash: batch 1's data + registry landed, but the
+    # process died before its manifest
+    inc.append_batch(spark, pages.limit(10), out, batch_id=1)
+    mpath = os.path.join(out, "manifests", "stream-batch-000001.json")
+    os.remove(mpath)
+
+    assert inc.append_batch(spark, pages.limit(10), out,
+                            batch_id=1) is None  # reconciled, no-op
+    reg = inc.read_registry(IndexPaths(out).chunks)
+    assert [r["chunk"] for r in reg] == [0, 1]  # no duplicate chunk
+    m = read_manifest(out, "stream-batch-000001")
+    assert m is not None and m.get("reconciled") is True
+    assert m["n_docs"] == 10
 
 
 @pytest.fixture(scope="module")
