@@ -283,15 +283,31 @@ def _pack_postings_kernel(block_size: int):
 
     def fn(pdf):
         import pandas as pd
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         chunk = int(pdf["chunk"].iloc[0])
         bucket = int(pdf["tbucket"].iloc[0])
+        # Sorting millions of OBJECT strings per task was the pack
+        # stage's dominant cost (and a cache thrasher): factorize is
+        # a hash pass (O(n), no string sort), the only string sort
+        # left is over the ~|vocab|-sized uniques, and the row sort
+        # is a pure-integer lexsort.  Codes are relabeled to the
+        # uniques' sorted ranks first, so the row order — and the
+        # packed bytes — are identical to sorting by (term, doc_id)
+        # directly (parallelism-invariance/resume tests pin this).
+        codes, uniques = pd.factorize(pdf["term"], sort=False)
+        uniques = np.asarray(uniques, dtype=object)
+        order_u = np.argsort(uniques, kind="stable")
+        rank = np.empty(order_u.size, dtype=np.int64)
+        rank[order_u] = np.arange(order_u.size)
+        codes = rank[codes]
+        sort_idx = np.lexsort((pdf["doc_id"].to_numpy(), codes))
         uniq, df_part, min_ids, blocks = codec.pack_group_postings(
-            pdf["term"].to_numpy(), pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(), pdf["dl"].to_numpy(),
-            pdf["max_tf"].to_numpy(), block_size=block_size)
+            codes[sort_idx], pdf["doc_id"].to_numpy()[sort_idx],
+            pdf["tf"].to_numpy()[sort_idx],
+            pdf["dl"].to_numpy()[sort_idx],
+            pdf["max_tf"].to_numpy()[sort_idx],
+            block_size=block_size)
         return pd.DataFrame({
-            "term": uniq,
+            "term": uniques[order_u][uniq.astype(np.int64)],
             "bucket": np.full(uniq.size, bucket, dtype=np.int32),
             "salt": np.full(uniq.size, chunk, dtype=np.int32),
             "df_part": df_part.astype(np.int64),
