@@ -271,11 +271,21 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_index(spark, sf_dir):
-    """Materialized ANN index path: build once per sf_dir (bucket-
-    partitioned vectors), probe via partition-pruned read."""
+    """Materialized ANN index path: build once per embeddings
+    CONTENT (bucket-partitioned vectors), probe via partition-pruned
+    read.  The cache key fingerprints the source parquet (path +
+    size + mtime), so regenerated data at the same path rebuilds
+    the index instead of silently probing a stale one."""
     import hashlib
     import tempfile
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"{sf_dir}/embeddings.parquet"
+    stat_parts = [src]
+    for root, _dirs, files in os.walk(src) if os.path.isdir(src) \
+            else [(os.path.dirname(src), [], [os.path.basename(src)])]:
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            stat_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(stat_parts).encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"riw_ann_{key}")
     emb = _emb(spark, sf_dir)
     if not os.path.exists(os.path.join(out, "ann_meta.json")):

@@ -99,6 +99,42 @@ def decode_varints(buf, count: int, offset: int = 0
     return vals, offset + int(ends[count - 1] + 1)
 
 
+def decode_varint_sections(buf, counts, offset: int = 0) -> list[np.ndarray]:
+    """Decode several consecutive varint sections in ONE pass.
+
+    ``decode_varints`` scans the whole remaining buffer for
+    terminator bytes on every call, so decoding a v4 block's four
+    sections one at a time re-scans the tail O(sections²/2) times
+    and pays the frombuffer + Python dispatch cost per section.
+    This fuses them: one frombuffer, one terminator scan, then a
+    value extraction per section — values are bit-identical to
+    sequential :func:`decode_varints` calls."""
+    total = int(sum(counts))
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in counts]
+    b = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+    terminators = np.nonzero((b & 0x80) == 0)[0]
+    if terminators.size < total:
+        raise ValueError("varint stream truncated")
+    ends = terminators[:total]
+    starts = np.empty(total, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(total, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        vals[mask] |= (
+            (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64)
+            << np.uint64(7 * j)
+        )
+    out, lo = [], 0
+    for c in counts:
+        out.append(vals[lo:lo + int(c)])
+        lo += int(c)
+    return out
+
+
 def _deltas(ids: np.ndarray) -> np.ndarray:
     deltas = np.empty(ids.shape, dtype=np.uint64)
     deltas[0] = ids[0]
@@ -223,10 +259,16 @@ def unpack_block_ids(data: bytes, n: int) -> np.ndarray:
 
 def unpack_block(data: bytes, n: int):
     """→ (doc_ids, tfs, dls, max_tfs), all int64."""
-    deltas, off = decode_varints(data, n)
+    deltas, tfs, dls, mtfs = decode_varint_sections(data, [n] * 4)
     ids = np.cumsum(deltas.astype(np.int64))
-    tfs, off = decode_varints(data, n, off)
-    dls, off = decode_varints(data, n, off)
-    mtfs, _ = decode_varints(data, n, off)
     return (ids, tfs.astype(np.int64), dls.astype(np.int64),
+            mtfs.astype(np.int64))
+
+
+def unpack_block_stats(data: bytes, n: int, offset: int):
+    """Decode only the statistics sections (tf, dl, max_tf) of one
+    block, starting at *offset* = the byte end of the id section
+    (returned by the ids-only decode).  One fused scan."""
+    tfs, dls, mtfs = decode_varint_sections(data, [n] * 3, offset)
+    return (tfs.astype(np.int64), dls.astype(np.int64),
             mtfs.astype(np.int64))

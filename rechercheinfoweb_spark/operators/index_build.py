@@ -143,6 +143,44 @@ class IndexPaths:
     def chunks(self) -> str:
         return os.path.join(self.out_dir, "chunks")
 
+    def dictionary_version(self, version: int | None) -> str:
+        """Path of one immutable dictionary snapshot.  ``None`` =
+        the pre-versioning layout (dictionary written in place)."""
+        if version is None:
+            return self.dictionary
+        return os.path.join(self.dictionary, f"v={version}")
+
+
+def check_layout(stats) -> None:
+    """Fail fast with a clear message on a layout-incompatible index
+    (corpus_stats carries a ``layout`` column since v4; earlier
+    layouts stored float weight planes this reader cannot score)."""
+    layout = stats.asDict().get("layout") if hasattr(stats, "asDict") \
+        else stats.get("layout")
+    if layout != INDEX_LAYOUT_VERSION:
+        raise ValueError(
+            f"index layout {layout!r} is incompatible with this "
+            f"engine (expected v{INDEX_LAYOUT_VERSION}); rebuild the "
+            "index with build_index() or run finalize_index() from a "
+            "matching engine version")
+
+
+def dict_version_of(stats) -> int | None:
+    """Dictionary snapshot referenced by a corpus_stats row (None on
+    an index finalized before dictionary versioning)."""
+    d = stats.asDict() if hasattr(stats, "asDict") else stats
+    return d.get("dict_version")
+
+
+def _stats_mtime(path: str) -> float:
+    """mtime of the corpus_stats artifact (file, or newest file in a
+    legacy directory) — the reader-cache invalidation token."""
+    if os.path.isdir(path):
+        files = [os.path.join(path, f) for f in os.listdir(path)]
+        return max((os.path.getmtime(f) for f in files),
+                   default=os.path.getmtime(path))
+    return os.path.getmtime(path)
+
 
 @dataclass
 class BuildResult:
@@ -370,13 +408,19 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     vocab = vocab_row["vocab"]
     # dictionary: bucket-partitioned like postings so a query's term
     # lookups prune identically; repartition first so each bucket is
-    # one task/file, not a sliver from every shuffle task
+    # one task/file, not a sliver from every shuffle task.  Written
+    # to an IMMUTABLE versioned subdir that stays invisible until
+    # corpus_stats — the single atomic commit point — references it:
+    # a crash anywhere in finalize leaves readers on the previous
+    # fully-consistent (dictionary, stats) pair, never a mix of new
+    # df values with old postings pins.
+    dict_version = _next_dict_version(paths)
     (df_table
      .select("term", "df", term_bucket(F.col("term"), n_buckets)
              .alias("bucket"))
      .repartition(n_buckets, "bucket")
      .write.partitionBy("bucket").mode("overwrite")
-     .parquet(paths.dictionary))
+     .parquet(paths.dictionary_version(dict_version)))
 
     # Heaps two-point fit (reference stat.go:15-33): V = K · T^B using
     # the full corpus and the doc_id ≤ N/2 prefix.
@@ -390,20 +434,73 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     df_table.unpersist()
 
     max_chunk = max(chunk_list) if chunk_list else -1
-    stats_df = spark.createDataFrame(
-        [(n_docs, t_total, int(stats_row["sum_dl"] or 0), avgdl, vocab,
-          heaps_b, heaps_k, len(chunk_list), max_chunk, n_buckets,
-          block_size, k1, b, INDEX_LAYOUT_VERSION)],
-        schema=("n_docs long, n_raw_tokens long, sum_dl long, "
-                "avgdl double, vocabulary long, heaps_b double, "
-                "heaps_k double, n_chunks int, max_chunk int, "
-                "n_buckets int, block_size int, k1 double, b double, "
-                "layout int"))
-    stats_df.coalesce(1).write.mode("overwrite").parquet(
-        paths.corpus_stats)
+    # the COMMIT: one atomically-replaced parquet file (all values
+    # are driver-side scalars — no Spark write, whose delete-then-
+    # write overwrite is not crash-atomic).  Readers resolve the
+    # dictionary through dict_version, so both tables publish
+    # together or not at all.
+    _write_corpus_stats(
+        paths.corpus_stats,
+        n_docs=n_docs, n_raw_tokens=t_total,
+        sum_dl=int(stats_row["sum_dl"] or 0), avgdl=avgdl,
+        vocabulary=vocab, heaps_b=heaps_b, heaps_k=heaps_k,
+        n_chunks=len(chunk_list), max_chunk=max_chunk,
+        n_buckets=n_buckets, block_size=block_size, k1=k1, b=b,
+        layout=INDEX_LAYOUT_VERSION, dict_version=dict_version)
+    _prune_dict_versions(paths, keep_from=dict_version - 1)
     return {"n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
             "heaps_b": heaps_b, "heaps_k": heaps_k,
-            "n_chunks": len(chunk_list), "max_chunk": max_chunk}
+            "n_chunks": len(chunk_list), "max_chunk": max_chunk,
+            "dict_version": dict_version}
+
+
+_CORPUS_STATS_TYPES = {
+    "n_docs": "int64", "n_raw_tokens": "int64", "sum_dl": "int64",
+    "avgdl": "float64", "vocabulary": "int64", "heaps_b": "float64",
+    "heaps_k": "float64", "n_chunks": "int32", "max_chunk": "int32",
+    "n_buckets": "int32", "block_size": "int32", "k1": "float64",
+    "b": "float64", "layout": "int32", "dict_version": "int32",
+}
+
+
+def _write_corpus_stats(path: str, **values) -> None:
+    """corpus_stats as ONE parquet file via tmp + os.replace — the
+    same atomic-commit pattern as the chunk registry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):  # pre-atomic layout wrote a directory
+        shutil.rmtree(path)
+    table = pa.table({k: pa.array([values[k]], type=t)
+                      for k, t in _CORPUS_STATS_TYPES.items()})
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _next_dict_version(paths: IndexPaths) -> int:
+    """Strictly newer than every version dir on disk (referenced or
+    orphaned by a crashed finalize) — a version dir is never
+    rewritten once corpus_stats may reference it."""
+    versions = [0]
+    if os.path.isdir(paths.dictionary):
+        for name in os.listdir(paths.dictionary):
+            if name.startswith("v=") and name[2:].isdigit():
+                versions.append(int(name[2:]))
+    return max(versions) + 1
+
+
+def _prune_dict_versions(paths: IndexPaths, keep_from: int) -> None:
+    """Drop dictionary snapshots older than the PREVIOUS version:
+    the current one is live, the previous stays for readers opened
+    before this refresh (snapshot pin); anything older is
+    unreferenced."""
+    if not os.path.isdir(paths.dictionary):
+        return
+    for name in os.listdir(paths.dictionary):
+        if (name.startswith("v=") and name[2:].isdigit()
+                and int(name[2:]) < keep_from):
+            shutil.rmtree(os.path.join(paths.dictionary, name),
+                          ignore_errors=True)
 
 
 def term_bucket(col, n_buckets: int):

@@ -218,9 +218,16 @@ def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
                               schema="doc_id long"))
     res = res.orderBy("doc_id")
     if with_urls:
+        # NO broadcast hint on the result side: a boolean result is
+        # unbounded (an OR over hot terms can match most of a web
+        # corpus), and broadcasting it would OOM executors at scale —
+        # the ranked path may hint because its result is k rows.
+        # Both sides are id-partitioned, so AQE picks a sort-merge /
+        # shuffled-hash join whose cost tracks the result size;
+        # interactive callers paginate first (SearchService.search)
+        # and join urls for one page only.
         docs = reader.docs().select("doc_id", "url")
-        res = (docs.join(F.broadcast(res), "doc_id")
-               .orderBy("doc_id"))
+        res = docs.join(res, "doc_id").orderBy("doc_id")
     return res
 
 

@@ -49,9 +49,83 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import codec, scoring
 from ..functions.tokenizer import STOPWORDS, vector_query_terms
 from ..functions.xxhash import spark_term_bucket
-from .index_build import IndexPaths, read_registry
+from .index_build import (
+    IndexPaths, _stats_mtime, check_layout, dict_version_of,
+    read_registry,
+)
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
+
+# ---------------------------------------------------------------------
+# Per-worker decoded-postings cache.  Python workers are reused across
+# tasks (spark.python.worker.reuse), so repeated queries against the
+# same index snapshot skip the varint decode and the weight math for
+# hot terms — mirroring LocalSearcher._decoded, which is what the
+# round-2 review asked for.  Keyed by (reader cache token, salt,
+# term); the token changes whenever corpus_stats is republished
+# (finalize/refresh), so a stale entry can never serve a new
+# snapshot.  Bounded by total cached postings, LRU.
+_DECODED_CACHE: "OrderedDict[tuple, list]" = OrderedDict()
+_DECODED_CACHE_POSTINGS = 0
+_DECODED_CACHE_CAP = 2_000_000  # postings (~64 B each incl. weights)
+
+
+def _decode_term_blocks(token, salt: int, term: str, blocks,
+                        base: int) -> list:
+    """Decoded block list for one (salt, term): each entry is a
+    mutable [pos, data, n, stat_off, w4] where ``pos`` is the dense
+    shard position array and ``w4`` (the (n,4) weight matrix) is
+    filled lazily on first statistics decode."""
+    global _DECODED_CACHE_POSTINGS
+    key = (token, salt, term)
+    hit = _DECODED_CACHE.get(key)
+    if hit is not None:
+        _DECODED_CACHE.move_to_end(key)
+        return hit
+    out = []
+    n_post = 0
+    for blk in blocks:
+        n = int(blk["n"])
+        data = bytes(blk["data"])
+        deltas, off = codec.decode_varints(data, n)
+        pos = np.cumsum(deltas.astype(np.int64)) - base
+        out.append([pos, data, n, off, None])
+        n_post += n
+    if token is not None:
+        _DECODED_CACHE[key] = out
+        _DECODED_CACHE_POSTINGS += n_post
+        while (_DECODED_CACHE_POSTINGS > _DECODED_CACHE_CAP
+               and len(_DECODED_CACHE) > 1):
+            _, old = _DECODED_CACHE.popitem(last=False)
+            _DECODED_CACHE_POSTINGS -= sum(e[2] for e in old)
+    return out
+
+
+def _block_weights(entry, idf_v: float, bidf_v: float, avgdl: float,
+                   k1: float, b: float) -> np.ndarray:
+    """(n,4) weight matrix for one decoded block — statistics decode
+    happens at most ONCE per block per snapshot (the round-2 WAND
+    path re-decoded every candidate block in both the seed pass and
+    the final pass; this memo is the fix)."""
+    if entry[4] is None:
+        tfs, dls, mtfs = codec.unpack_block_stats(
+            entry[1], entry[2], entry[3])
+        entry[4] = scoring.posting_weights(
+            tfs, dls, mtfs, idf_v, bidf_v, avgdl, k1, b)
+    return entry[4]
+
+
+def _topk_select(cand: np.ndarray, scores: np.ndarray, k: int):
+    """Indices of the top-k by (score desc, id asc) — argpartition
+    prefilter (keeping every tie of the kth score, so the final
+    lexsort picks exactly the same rows as a full sort) instead of
+    an O(m log m) sort over all candidates."""
+    if cand.size > 4 * k:
+        kth = np.partition(scores, cand.size - k)[cand.size - k]
+        keep = np.nonzero(scores >= kth)[0]
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
 
 
 class IndexReader:
@@ -67,6 +141,7 @@ class IndexReader:
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         stats = spark.read.parquet(self.paths.corpus_stats).collect()[0]
+        check_layout(stats)
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         self.n_chunks = stats["n_chunks"]
@@ -85,9 +160,19 @@ class IndexReader:
         # one file-listing/schema pass per table, reused by every
         # query through this reader
         self._postings = spark.read.parquet(self.paths.postings)
-        self._dictionary = spark.read.parquet(self.paths.dictionary)
+        self._dictionary = spark.read.parquet(
+            self.paths.dictionary_version(dict_version_of(stats)))
         self._df_cache: OrderedDict[str, int] = OrderedDict()
         self._max_df_cache = 65536
+        # worker-side decoded-postings cache token: changes whenever
+        # corpus_stats is republished, so cached decodes can never
+        # cross snapshots (even a rebuild at the same path)
+        try:
+            mtime = _stats_mtime(self.paths.corpus_stats)
+        except OSError:
+            mtime = None
+        self.cache_token = ((index_dir, self.max_chunk, mtime)
+                            if mtime is not None else None)
 
     def _buckets_of(self, terms: list[str]) -> list[int]:
         # driver-side xxhash64 twin of the build's bucket expression
@@ -164,11 +249,19 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
                         scheme: str, k: int,
                         salt_map: dict[int, tuple[int, int]],
                         use_pruning: bool, avgdl: float,
-                        k1: float, b: float):
+                        k1: float, b: float, cache_token=None,
+                        counters: dict | None = None):
     """applyInPandas kernel over one salt shard's posting rows.
 
     ``salt_map`` maps each shard to its contiguous (first_doc_id,
-    size) range; ids become dense positions as ``id - base``."""
+    size) range; ids become dense positions as ``id - base``.
+    Decoded ids and weight matrices are memoized per worker process
+    under ``cache_token`` (see _DECODED_CACHE), and a block's
+    statistics decode happens at most once per query even when both
+    the WAND seed pass and the final pass touch it.  ``counters``
+    may carry {'blocks_total', 'blocks_scored'} Spark accumulators —
+    blocks_scored counts blocks whose exact weights the final pass
+    actually needed, so (1 − scored/total) is the block-skip rate."""
     wcol = SCHEME_COL[scheme]
 
     def fn(pdf):
@@ -179,9 +272,10 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
         salt = int(pdf["salt"].iloc[0])
         base, cap = salt_map[salt]
         cap += 2  # dense doc-position space
-        # pass 1: decode ids only; per-doc upper bounds from block
-        # metadata (no statistics decode)
-        decoded = []  # (mult, idf, bidf, pos, data, n, off)
+        # pass 1: decode ids only (cached); per-doc upper bounds from
+        # block metadata (no statistics decode)
+        decoded = []  # (mult, idf, bidf, entries)
+        n_blocks = 0
         ub = np.zeros(cap, dtype=np.float64)
         present = np.zeros(cap, dtype=bool)  # any-posting docs score
         # even when idf=0 (df=N hot terms), like the reference merge
@@ -190,40 +284,42 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
             m = np.float64(mult)
             bmaxes = _block_meta_ub(blocks, idf_v, bidf_v, wcol,
                                     avgdl, k1, b)
-            for bi, blk in enumerate(blocks):
-                n = int(blk["n"])
-                data = bytes(blk["data"])
-                deltas, off = codec.decode_varints(data, n)
-                pos = np.cumsum(deltas.astype(np.int64)) - base
-                ub[pos] += m * bmaxes[bi]
-                present[pos] = True
-                decoded.append((m, idf_v, bidf_v, pos, data, n, off))
+            entries = _decode_term_blocks(cache_token, salt, term,
+                                          blocks, base)
+            n_blocks += len(entries)
+            for bi, e in enumerate(entries):
+                ub[e[0]] += m * bmaxes[bi]
+                present[e[0]] = True
+            decoded.append((m, idf_v, bidf_v, entries))
+        if counters:
+            counters["blocks_total"].add(n_blocks)
 
-        def add_exact(into: np.ndarray, mask_pos=None):
+        def add_exact(into: np.ndarray, mask_pos=None, count=False):
             # accumulate exact contributions in term-sorted block
             # order — the oracle's float-op order
-            for m, idf_v, bidf_v, pos, data, n, off in decoded:
-                if mask_pos is not None:
-                    sel = mask_pos[pos]
-                    if not sel.any():
-                        continue
-                else:
-                    sel = None
-                tfs, o2 = codec.decode_varints(data, n, off)
-                dls, o3 = codec.decode_varints(data, n, o2)
-                mtfs, _ = codec.decode_varints(data, n, o3)
-                w = scoring.posting_weights(
-                    tfs.astype(np.int64), dls.astype(np.int64),
-                    mtfs.astype(np.int64), idf_v, bidf_v, avgdl,
-                    k1, b)[:, wcol]
-                if sel is None:
-                    into[pos] += m * w
-                else:
-                    np.add.at(into, pos[sel], m * w[sel])
+            scored = 0
+            for m, idf_v, bidf_v, entries in decoded:
+                for e in entries:
+                    pos = e[0]
+                    if mask_pos is not None:
+                        sel = mask_pos[pos]
+                        if not sel.any():
+                            continue
+                    else:
+                        sel = None
+                    w = _block_weights(e, idf_v, bidf_v, avgdl,
+                                       k1, b)[:, wcol]
+                    scored += 1
+                    if sel is None:
+                        into[pos] += m * w
+                    else:
+                        np.add.at(into, pos[sel], m * w[sel])
+            if count and counters:
+                counters["blocks_scored"].add(scored)
 
         exact = np.zeros(cap, dtype=np.float64)
         if not use_pruning:
-            add_exact(exact)
+            add_exact(exact, count=True)
             cand = np.nonzero(present)[0]
         else:
             # θ = kth-best exact score among the top-k docs by upper
@@ -232,7 +328,13 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
             nz = np.nonzero(present)[0]
             if nz.size == 0:
                 return pd.DataFrame({"doc_id": [], "score": []})
-            top_by_ub = nz[np.argsort(-ub[nz], kind="stable")[:k]]
+            # any k seeds give a valid θ (kth exact among k docs is
+            # ≤ the true kth score); highest-ub seeds give the
+            # tightest — argpartition finds them in O(m)
+            if nz.size > k:
+                top_by_ub = nz[np.argpartition(-ub[nz], k - 1)[:k]]
+            else:
+                top_by_ub = nz
             mask0 = np.zeros(cap, dtype=bool)
             mask0[top_by_ub] = True
             add_exact(exact, mask0)
@@ -241,17 +343,15 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
                      else -np.inf)
             cand_mask = present & (ub >= theta)
             exact = np.zeros(cap, dtype=np.float64)
-            add_exact(exact, cand_mask)
+            add_exact(exact, cand_mask, count=True)
             cand = np.nonzero(cand_mask)[0]
 
         if cand.size == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
-        scores = exact[cand]
-        order = np.lexsort((cand, -scores))[:k]
-        sel = cand[order]
+        sel, top_scores = _topk_select(cand, exact[cand], k)
         return pd.DataFrame({
             "doc_id": (sel + base).astype(np.int64),
-            "score": scores[order],
+            "score": top_scores,
         })
 
     return fn
@@ -262,7 +362,8 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
                                                            float]],
                               scheme: str, k: int,
                               salt_map: dict[int, tuple[int, int]],
-                              avgdl: float, k1: float, b: float):
+                              avgdl: float, k1: float, b: float,
+                              cache_token=None):
     """applyInPandas kernel over one salt shard's posting rows,
     scoring EVERY query of the batch in a single pass.
 
@@ -286,21 +387,12 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
             _, idf_v, bidf_v = term_params[term]
-            decoded = []
-            for blk in blocks:
-                n = int(blk["n"])
-                data = bytes(blk["data"])
-                deltas, off = codec.decode_varints(data, n)
-                pos = np.cumsum(deltas.astype(np.int64)) - base
-                tfs, o2 = codec.decode_varints(data, n, off)
-                dls, o3 = codec.decode_varints(data, n, o2)
-                mtfs, _ = codec.decode_varints(data, n, o3)
-                w = scoring.posting_weights(
-                    tfs.astype(np.int64), dls.astype(np.int64),
-                    mtfs.astype(np.int64), idf_v, bidf_v, avgdl,
-                    k1, b)[:, wcol]
-                decoded.append((pos, w))
-            by_term[term] = decoded
+            entries = _decode_term_blocks(cache_token, salt, term,
+                                          blocks, base)
+            by_term[term] = [
+                (e[0], _block_weights(e, idf_v, bidf_v, avgdl,
+                                      k1, b)[:, wcol])
+                for e in entries]
         for qid in sorted(query_mults):
             mult = query_mults[qid]
             exact = np.zeros(cap, dtype=np.float64)
@@ -349,7 +441,8 @@ def vector_topk_batch(spark: SparkSession,
     params = reader.term_params(all_mult)
     kern = _score_shard_batch_kernel(mults, params, scheme, k,
                                      reader.salt_map, reader.avgdl,
-                                     reader.k1, reader.b)
+                                     reader.k1, reader.b,
+                                     cache_token=reader.cache_token)
     rows = reader.postings_for(kern.terms)
     scored = (rows.select("term", "salt", "blocks")
               .groupBy("salt")
@@ -365,9 +458,12 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
                 query: str, scheme: str = "bm25", k: int = 20,
                 use_pruning: bool = True,
                 stopwords: frozenset[str] = STOPWORDS,
-                with_urls: bool = False) -> DataFrame:
+                with_urls: bool = False,
+                counters: dict | None = None) -> DataFrame:
     """Top-k ranked retrieval. Returns (doc_id, score[, url]) with
-    rank order = (score desc, doc_id asc)."""
+    rank order = (score desc, doc_id asc).  ``counters``: optional
+    {'blocks_total', 'blocks_scored'} Spark accumulators for
+    WAND-pruning evidence (see _score_shard_kernel)."""
     reader = (index_dir if isinstance(index_dir, IndexReader)
               else IndexReader(spark, index_dir))
     terms = vector_query_terms(query, stopwords)
@@ -377,7 +473,8 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
     scored = rows.select("term", "salt", "blocks").groupBy("salt").applyInPandas(
         _score_shard_kernel(params, scheme, k, reader.salt_map,
                             use_pruning, reader.avgdl, reader.k1,
-                            reader.b),
+                            reader.b, cache_token=reader.cache_token,
+                            counters=counters),
         schema="doc_id long, score double")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:

@@ -44,7 +44,9 @@ from ..functions.tokenizer import (
     STOPWORDS, bool_query_term, vector_query_terms,
 )
 from ..functions.xxhash import spark_term_bucket
+from .index_build import check_layout, dict_version_of
 from .query_bool import _eval_ast_numpy, parse_boolean
+from .query_vector import _topk_select
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
 
@@ -55,6 +57,8 @@ class LocalSearcher:
     def __init__(self, index_dir: str, max_cached_buckets: int = 64):
         stats = pq.read_table(
             os.path.join(index_dir, "corpus_stats")).to_pylist()[0]
+        check_layout(stats)
+        self._dict_version = dict_version_of(stats)
         self.n_docs = stats["n_docs"]
         self.n_buckets = stats["n_buckets"]
         self.avgdl = stats["avgdl"]
@@ -79,6 +83,9 @@ class LocalSearcher:
 
     def _read_bucket(self, table_name: str, bucket: int,
                      columns: list[str]):
+        if table_name == "dictionary" and self._dict_version is not None:
+            table_name = os.path.join(
+                "dictionary", f"v={self._dict_version}")
         path = os.path.join(self._dir, table_name, f"bucket={bucket}")
         if not os.path.isdir(path):
             return None
@@ -178,28 +185,37 @@ class LocalSearcher:
         """Top-k [(doc_id, score[, url])] — rank-identical (scores
         bit-equal) to the Spark path: same decode, same sorted-term
         float accumulation order (a doc takes each term's
-        contribution exactly once, shards are disjoint)."""
+        contribution exactly once, shards are disjoint).
+
+        Memory is O(postings touched), never O(corpus): per-doc
+        scores accumulate over the candidate ids only (np.bincount
+        over the unique-id inverse sums each doc's contributions in
+        input order = sorted-term order, the exact float-op order of
+        the dense-array design it replaces — which allocated
+        n_docs-sized arrays per query and contradicted the module's
+        own 10^12-doc serving story)."""
         wcol = SCHEME_COL[scheme]
         mult = Counter(vector_query_terms(query, stopwords))
-        exact = np.zeros(self.n_docs + 2, dtype=np.float64)
-        present = np.zeros(self.n_docs + 2, dtype=bool)
+        ids_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
         for term in sorted(mult):
             m = np.float64(mult[term])
             ids, w = self._decoded_postings(term)
             if ids.size:
-                exact[ids] += m * w[:, wcol]
-                present[ids] = True
-        cand = np.nonzero(present)[0]
-        if cand.size == 0:
+                ids_parts.append(ids)
+                contrib_parts.append(m * w[:, wcol])
+        if not ids_parts:
             return []
-        scores = exact[cand]
-        order = np.lexsort((cand, -scores))[:k]
-        sel = cand[order]
+        ids_all = np.concatenate(ids_parts)
+        cand, inv = np.unique(ids_all, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(contrib_parts),
+                             minlength=cand.size)
+        sel, top_scores = _topk_select(cand, scores, k)
         if with_urls:
             urls = self._load_urls()
             return [(int(d), float(s), urls[d])
-                    for d, s in zip(sel, scores[order])]
-        return [(int(d), float(s)) for d, s in zip(sel, scores[order])]
+                    for d, s in zip(sel, top_scores)]
+        return [(int(d), float(s)) for d, s in zip(sel, top_scores)]
 
     # ---- boolean ----------------------------------------------------
 

@@ -7,6 +7,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _machine_ram_gb() -> int:
+    """Total physical RAM in GiB (MemTotal), 128 if unreadable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return max(1, int(line.split()[1]) // (1024 * 1024))
+    except OSError:
+        pass
+    return 128
+
+
 def _default_driver_memory(master: str) -> str:
     """Size the local-mode heap to the task-thread count.
 
@@ -16,13 +28,20 @@ def _default_driver_memory(master: str) -> str:
     config GC-thrashes and any N-vs-4N comparison measures garbage
     collection, not scaling.  Measured on a 90k page-sized-doc
     build at local[8]: 16g heap → 269 s, 48g → 164 s.  ~5g per task
-    thread + base, capped below machine RAM.
-    """
+    thread + base, capped at 70% of ACTUAL machine RAM (queried, not
+    assumed — bench/scaling also put shuffle dirs and the index on
+    RAM-backed /dev/shm, so an overcommitted heap plus tmpfs could
+    exceed physical memory on a smaller host)."""
+    if master.startswith("local-cluster"):
+        # executors are separate JVMs with their own memory — the
+        # driver only schedules and collects scalars
+        return "8g"
     try:
         n = int(master[master.index("[") + 1:-1]) if "[" in master else 8
     except ValueError:  # local[*]
         n = os.cpu_count() or 8
-    return f"{min(96, max(8, 5 * n + 4))}g"
+    cap = max(4, int(0.7 * _machine_ram_gb()))
+    return f"{min(cap, max(8, 5 * n + 4))}g"
 
 
 def get_spark(app_name: str = "rechercheinfoweb-spark",

@@ -156,7 +156,11 @@ def cacm_queries(cacm_dir: str = CACM_DIR) -> dict[int, str]:
                 if qid > 0:
                     queries[qid] = "".join(buf)
                     buf = []
-                qid += 1
+                # the qid is the integer ON the .I line, not an
+                # arrival counter: a missing or reordered record
+                # must not silently shift every later qrels mapping
+                # (the reference's own misalignment failure mode)
+                qid = int(ln.split()[1])
             elif ln.startswith(".W"):
                 in_w = True
             elif ln.startswith("."):
