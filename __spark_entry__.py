@@ -15,8 +15,11 @@ oracles.  SQL-parity queries use the SQL-portable tokenizer (split
 on non-alphanumeric) — the engine's stemmed tokenizer cannot run in
 DuckDB; the stemmed path is oracle-checked in pytest instead
 (tests/test_query_vector.py, rank-identical vs oracle/pyoracle.py).
-Non-SQL-expressible ops (simhash bit voting, hyperplane LSH, the
-full engine index) are registered without an oracle → rows-only.
+Hyperplane-LSH queries ARE oracled: the seeded numpy planes are
+emitted as SQL literal arrays and DuckDB recomputes the sign-bit
+buckets with list_dot_product (float64 both sides; a sign flip
+would need |dot| ≲ 1e-13 of zero — vanishing for random normals).
+Only the full engine index (Porter2 stemming) stays rows-only.
 
 Column-name discipline: every computed column is aliased
 identically in the Spark plan and the SQL text; floats that cross
@@ -40,6 +43,12 @@ K1, B = 1.2, 0.75
 QUERY_TERMS = ("data", "query", "stream")  # fixed ranked-query terms
 AND_TERMS = ("data", "query")
 PAIR_DOC_LIMIT = 300  # bound pairwise ops in the sf0.01 contract run
+# caps chosen to actually TRIP on the sf0.01 slice (measured): the
+# 300-doc slice has 4 LSH band buckets of size 188-225 (boilerplate)
+# vs a ≤38 tail, and 120 shingles with df > 3 — so the capped
+# contract queries exercise the degenerate-key guards, not a no-op
+LSH_MAX_BUCKET = 100
+JACCARD_DF_CAP = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +236,24 @@ def _q_jaccard_pairs(spark, sf_dir):
                                      threshold=0.15)
 
 
+def _q_lsh_pairs_capped(spark, sf_dir):
+    """Hot-bucket guard TRIPPED: max_bucket=100 drops the 4
+    boilerplate band buckets (size 188-225) before the self-join;
+    members still pair through their discriminative bands."""
+    return dedup.minhash_lsh_pairs(_pair_docs(spark, sf_dir),
+                                   max_bucket=LSH_MAX_BUCKET)
+
+
+def _q_jaccard_pairs_capped(spark, sf_dir):
+    """df-cutoff guard TRIPPED: shingles with df > 3 (120 of them on
+    this slice) are dropped before sizes AND the intersection join,
+    so Jaccard is computed consistently over the retained sets —
+    values genuinely differ from the uncapped oracle."""
+    return dedup.ngram_jaccard_pairs(_pair_docs(spark, sf_dir),
+                                     threshold=0.15,
+                                     max_shingle_df=JACCARD_DF_CAP)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -256,6 +283,85 @@ def _sql_simhash(doc_filter: str = "") -> str:
         votes_t AS (SELECT doc_id, {votes} FROM hv_t GROUP BY doc_id),
         sim_t AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
                   FROM votes_t)"""
+
+
+EMB_DIM = 64  # embeddings.parquet shape at every test SF (TESTDATA.md)
+
+
+def _sql_planes(n_planes: int, n_tables: int, seed: int = 7,
+                dim: int = EMB_DIM) -> str:
+    """The seeded hyperplanes (similarity._hyperplanes) as a DuckDB
+    VALUES relation (table_id, plane_id, p DOUBLE[]).  repr(float)
+    is shortest-round-trip, so DuckDB parses the exact float64."""
+    planes = similarity._hyperplanes(dim, n_planes, n_tables, seed)
+    rows = []
+    for t in range(n_tables):
+        for j in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[t, j])
+            rows.append(f"({t}, {j}, [{vec}]::DOUBLE[])")
+    return ("planes(table_id, plane_id, p) AS (VALUES\n            "
+            + ",\n            ".join(rows) + ")")
+
+
+def _sql_lsh_sig(source_cte: str) -> str:
+    """sig CTE: per (vector, table) sign-bit bucket — the SQL twin of
+    similarity._signature_kernel's (V @ proj) >= 0 bucketing."""
+    return f"""sig AS (
+              SELECT {source_cte}.vec_id, pl.table_id,
+                     sum(CASE WHEN list_dot_product({source_cte}.v, pl.p)
+                              >= 0
+                         THEN 1 << pl.plane_id ELSE 0 END) AS bucket
+              FROM {source_cte} CROSS JOIN planes pl
+              GROUP BY {source_cte}.vec_id, pl.table_id)"""
+
+
+def _sql_ann_probe(n_planes: int = 8, n_tables: int = 4,
+                   seed: int = 7, k: int = 20) -> str:
+    """Oracle for BOTH ann_lsh_topk and ann_index_topk (the
+    materialized index probes the same (planes, seed) geometry):
+    query buckets = vec_id 0's signature row, candidates = vectors
+    sharing any (table, bucket), exact cosine re-rank."""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            {_sql_planes(n_planes, n_tables, seed)},
+            {_sql_lsh_sig('e')},
+            qsig AS (SELECT table_id, bucket FROM sig WHERE vec_id = 0),
+            cand AS (SELECT DISTINCT s.vec_id FROM sig s
+                     JOIN qsig q ON s.table_id = q.table_id
+                                AND s.bucket = q.bucket),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS nq FROM q)
+        SELECT e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (greatest(sqrt(list_dot_product(e.v, e.v)),
+                                 1e-12) * qn.nq), 6) AS cosine
+        FROM e JOIN cand USING (vec_id), q, qn
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
+def _sql_embed_lsh_pairs(threshold: float = 0.15, n_planes: int = 6,
+                         n_tables: int = 8, seed: int = 7) -> str:
+    """Oracle for dd_embed_near_pairs_lsh: candidate pairs share an
+    LSH bucket in some table, then the exact rounded-cosine filter."""
+    cos = ("round(list_dot_product(ea.v, eb.v)"
+           " / (greatest(sqrt(list_dot_product(ea.v, ea.v)), 1e-12)"
+           " * greatest(sqrt(list_dot_product(eb.v, eb.v)), 1e-12)), 6)")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < {PAIR_DOC_LIMIT}),
+            {_sql_planes(n_planes, n_tables, seed)},
+            {_sql_lsh_sig('e')},
+            cand AS (SELECT DISTINCT a.vec_id AS id_a,
+                            b.vec_id AS id_b
+                     FROM sig a JOIN sig b
+                       ON a.table_id = b.table_id
+                      AND a.bucket = b.bucket
+                     WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, {cos} AS cosine
+        FROM cand JOIN e ea ON ea.vec_id = id_a
+                  JOIN e eb ON eb.vec_id = id_b
+        WHERE {cos} >= {threshold}"""
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -448,7 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _q_dedup_exact,
         "dd_minhash_sigs": _q_minhash_sigs,
         "dd_lsh_pairs": _q_lsh_pairs,
+        "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
         "dd_jaccard_pairs": _q_jaccard_pairs,
+        "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_cosine,
@@ -493,6 +601,71 @@ def oracle_sql() -> dict[str, str]:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM bands"
         for b in range(dedup.LSH_BANDS))
+
+    def lsh_pairs_sql(max_bucket: int | None) -> str:
+        # capped: drop band buckets above the cap BEFORE the
+        # self-join — the SQL twin of minhash_lsh_pairs' hot-bucket
+        # broadcast anti-join
+        cap_ctes, rel = "", "bb"
+        if max_bucket is not None:
+            cap_ctes = f""",
+            hot AS (SELECT band_id, band_hash FROM bb
+                    GROUP BY band_id, band_hash
+                    HAVING count(*) > {max_bucket}),
+            bbk AS (SELECT bb.* FROM bb
+                    ANTI JOIN hot USING (band_id, band_hash))"""
+            rel = "bbk"
+        return f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, term FROM ({_SQL_TOKS_NE})
+              WHERE doc_id < {PAIR_DOC_LIMIT}),
+            sigs AS (SELECT doc_id, {mh} FROM toks GROUP BY doc_id),
+            bands AS (SELECT doc_id, {band_exprs} FROM sigs),
+            bb AS ({band_union}){cap_ctes}
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM {rel} a JOIN {rel} b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id"""
+
+    def jaccard_pairs_sql(max_shingle_df: int | None) -> str:
+        # capped: shingles over the df cap leave the relation before
+        # sizes AND the intersection join (consistent retained sets)
+        cap_ctes, rel = "", "sh"
+        if max_shingle_df is not None:
+            cap_ctes = f""",
+            df_t AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) > {max_shingle_df}),
+            shc AS (SELECT sh.* FROM sh ANTI JOIN df_t USING (shingle))"""
+            rel = "shc"
+        return f"""
+            WITH arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS shingle
+              FROM arrs, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+              WHERE len(toks) >= 3){cap_ctes},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM {rel}
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM {rel} a JOIN {rel} b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh AS size_a, sb.n_sh AS size_b,
+                   round(inter * 1.0
+                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= 0.15"""
 
     return {
         "ft_term_doc_tf": _SQL_TF,
@@ -607,46 +780,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {mh}
             FROM (SELECT DISTINCT doc_id, term FROM ({_SQL_TOKS_NE}))
             GROUP BY doc_id""",
-        "dd_lsh_pairs": f"""
-            WITH toks AS (
-              SELECT DISTINCT doc_id, term FROM ({_SQL_TOKS_NE})
-              WHERE doc_id < {PAIR_DOC_LIMIT}),
-            sigs AS (SELECT doc_id, {mh} FROM toks GROUP BY doc_id),
-            bands AS (SELECT doc_id, {band_exprs} FROM sigs),
-            bb AS ({band_union})
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bb a JOIN bb b
-              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-            WHERE a.doc_id < b.doc_id""",
-        "dd_jaccard_pairs": f"""
-            WITH arrs AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text),
-                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS toks
-              FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                         AS shingle
-              FROM arrs, unnest(generate_series(1, len(toks) - 2)) AS g(i)
-              WHERE len(toks) >= 3),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
-                      GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
-              WHERE a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
-            SELECT doc_a, doc_b, inter,
-                   sa.n_sh AS size_a, sb.n_sh AS size_b,
-                   round(inter * 1.0
-                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
-                  >= 0.15""",
+        "dd_lsh_pairs": lsh_pairs_sql(None),
+        "dd_lsh_pairs_capped": lsh_pairs_sql(LSH_MAX_BUCKET),
+        "dd_jaccard_pairs": jaccard_pairs_sql(None),
+        "dd_jaccard_pairs_capped": jaccard_pairs_sql(JACCARD_DF_CAP),
+        "ann_lsh_topk": _sql_ann_probe(),
+        "ann_index_topk": _sql_ann_probe(),
+        "dd_embed_near_pairs_lsh": _sql_embed_lsh_pairs(),
         "dd_simhash": f"""
             WITH {_sql_simhash()}
             SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash

@@ -123,11 +123,26 @@ def main() -> None:
     # session cost, not a per-query cost)
     vector_topk(spark, reader, "warm up", "bm25", k=5).collect()
     boolean_search(spark, reader, "warm AND up").collect()
+    sc = spark.sparkContext
+    counters = {"blocks_total": sc.accumulator(0),
+                "blocks_scored": sc.accumulator(0)}
+    bench_queries = ("search engine ranking", "Spark shuffle partition",
+                     "varint delta BM25 WAND")
     with timed("bm25_wand_topk"):
-        for q in ("search engine ranking", "Spark shuffle partition",
-                  "varint delta BM25 WAND"):
+        for q in bench_queries:
             vector_topk(spark, reader, q, "bm25", k=20,
-                        use_pruning=True).collect()
+                        use_pruning=True, counters=counters).collect()
+    # pruning evidence: same queries, exact scoring of every block —
+    # the wall-time delta plus the block-skip rate show what WAND buys
+    extra["wand_blocks_total"] = counters["blocks_total"].value
+    extra["wand_blocks_scored"] = counters["blocks_scored"].value
+    extra["wand_block_skip_rate"] = round(
+        1 - counters["blocks_scored"].value
+        / max(counters["blocks_total"].value, 1), 4)
+    with timed("bm25_topk_nopruning"):
+        for q in bench_queries:
+            vector_topk(spark, reader, q, "bm25", k=20,
+                        use_pruning=False).collect()
     with timed("tfidf_topk"):
         vector_topk(spark, reader, "search engine ranking", "norm",
                     k=20).collect()
@@ -148,6 +163,77 @@ def main() -> None:
                        ).collect()
         boolean_search(spark, reader, "index OR postings merge").collect()
 
+    # ---- WAND selectivity evidence --------------------------------
+    # The headline corpus's Zipf floor is df/N ≈ 1.4% — every term
+    # matches most docs, θ can't clear blocks, pruning is provably
+    # useless there (skip rate above) and "auto" rightly picks the
+    # exact path.  Pruning's domain is common+selective term mixes,
+    # so measure it on a sparser-vocabulary corpus, at job level AND
+    # at kernel level (job-level times at this scale are dominated
+    # by ~0.3 s of Spark scheduling; the kernel ratio is what scales
+    # with data volume — skipped blocks never decode statistics).
+    from rechercheinfoweb_spark.operators import query_vector as qvm
+    sel_corpus = synthetic_web_pages(spark, 20000, vocab_size=8000
+                                     ).persist()
+    sel_corpus.count()
+    sel_dir = f"{work}/sel_index"
+    # n_chunks=2: per-shard candidate density drives block skips —
+    # the same tail terms skip 60% of blocks on 10k-doc shards but
+    # only 22% on 5k-doc shards (candidates spread over fewer,
+    # denser blocks)
+    with timed("wand_sel_index_build"):
+        build_index(spark, sel_corpus, sel_dir, n_chunks=2,
+                    n_buckets=32)
+    sel_corpus.unpersist()
+    sel_reader = IndexReader(spark, sel_dir)
+    import duckdb
+    tails = [r[0] for r in duckdb.sql(
+        "SELECT term, sum(df) AS d FROM parquet_scan("
+        f"'{sel_dir}/dictionary/**/*.parquet', hive_partitioning=1) "
+        "WHERE term LIKE 'term%' GROUP BY term "
+        "HAVING sum(df) BETWEEN 60 AND 120 ORDER BY d ASC LIMIT 4"
+    ).fetchall()]
+    sel_queries = [f"search engine {tails[0]}",
+                   f"{tails[1]} shuffle partition",
+                   f"{tails[2]} {tails[3]} ranking"]
+    vector_topk(spark, sel_reader, "warm up", "bm25", k=5).collect()
+    sel_counters = {"blocks_total": sc.accumulator(0),
+                    "blocks_scored": sc.accumulator(0)}
+    with timed("wand_sel_pruned"):
+        for q in sel_queries:
+            vector_topk(spark, sel_reader, q, "bm25", k=10,
+                        use_pruning=True,
+                        counters=sel_counters).collect()
+    with timed("wand_sel_exact"):
+        for q in sel_queries:
+            vector_topk(spark, sel_reader, q, "bm25", k=10,
+                        use_pruning=False).collect()
+    extra["wand_sel_block_skip_rate"] = round(
+        1 - sel_counters["blocks_scored"].value
+        / max(sel_counters["blocks_total"].value, 1), 4)
+    # kernel-level: same shard kernels, in-process, cold decode cache
+    from collections import Counter as _Counter
+    kern = {"pruned": 0.0, "exact": 0.0}
+    for q in sel_queries:
+        params = sel_reader.term_params(
+            dict(_Counter(qvm.vector_query_terms(q, qvm.STOPWORDS))))
+        rows = (sel_reader.postings_for(list(params))
+                .select("term", "salt", "blocks").toPandas())
+        for label, prune in (("pruned", True), ("exact", False)):
+            qvm._DECODED_CACHE.clear()
+            qvm._DECODED_CACHE_POSTINGS = 0
+            t0 = time.time()
+            for _salt, pdf in rows.groupby("salt"):
+                qvm._score_shard_kernel(
+                    params, "bm25", 10, sel_reader.salt_map, prune,
+                    sel_reader.avgdl, sel_reader.k1, sel_reader.b,
+                    cache_token=None)(pdf.copy())
+            kern[label] += time.time() - t0
+    extra["wand_sel_kernel_pruned_ms"] = round(kern["pruned"] * 1000, 1)
+    extra["wand_sel_kernel_exact_ms"] = round(kern["exact"] * 1000, 1)
+    extra["wand_sel_kernel_speedup"] = round(
+        kern["exact"] / max(kern["pruned"], 1e-9), 2)
+
     with timed("quality_score"):
         textstats.quality_score(docs).agg(F.avg("quality")).collect()
     with timed("minhash_sigs"):
@@ -155,9 +241,18 @@ def main() -> None:
     pair_docs = docs.where(F.col("doc_id") < 500)
     with timed("lsh_pairs"):
         extra["lsh_pairs"] = dedup.minhash_lsh_pairs(pair_docs).count()
+    # degenerate-key guards TRIPPED (not just configured): the synthetic
+    # corpus has boilerplate band buckets of 200+ docs and shingles with
+    # df in the hundreds — the caps cut the quadratic join rows
+    with timed("lsh_pairs_capped"):
+        extra["lsh_pairs_capped"] = dedup.minhash_lsh_pairs(
+            pair_docs, max_bucket=100).count()
     with timed("jaccard_pairs"):
         extra["jaccard_pairs"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15).count()
+    with timed("jaccard_pairs_capped"):
+        extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
+            pair_docs, threshold=0.15, max_shingle_df=3).count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]

@@ -41,6 +41,7 @@ and WAND-off return rank-identical lists, which
 
 from __future__ import annotations
 
+import math
 from collections import Counter, OrderedDict
 
 import numpy as np
@@ -454,21 +455,47 @@ def vector_topk_batch(spark: SparkSession,
             .select("qid", "rank", "doc_id", "score"))
 
 
+#: df/N above which a term cannot drive pruning: its idf — and with
+#: it every posting's score contribution — is too small for the θ
+#: threshold to clear whole blocks.  Pruning pays only when some term
+#: is rarer than this.
+PRUNING_MAX_DF_FRACTION = 0.25
+
+
+def _pruning_pays(params: dict[str, tuple[float, float, float]]
+                  ) -> bool:
+    """True iff some query term is selective enough (df ≤ N/4 ⇔
+    idf ≥ ln 4) that block-max pruning can clear blocks.  When every
+    term matches most of the corpus (df ≈ N, idf ≈ 0 — e.g. three
+    stop-like words), candidates are ~the whole corpus and the WAND
+    seed pass is pure overhead — measured: 0 of 2,567 blocks skipped
+    and +45% wall-time on such queries at bench scale."""
+    min_idf = math.log(1.0 / PRUNING_MAX_DF_FRACTION)
+    return any(idf_v >= min_idf for _m, idf_v, _b in params.values())
+
+
 def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
                 query: str, scheme: str = "bm25", k: int = 20,
-                use_pruning: bool = True,
+                use_pruning: bool | str = "auto",
                 stopwords: frozenset[str] = STOPWORDS,
                 with_urls: bool = False,
                 counters: dict | None = None) -> DataFrame:
     """Top-k ranked retrieval. Returns (doc_id, score[, url]) with
-    rank order = (score desc, doc_id asc).  ``counters``: optional
-    {'blocks_total', 'blocks_scored'} Spark accumulators for
-    WAND-pruning evidence (see _score_shard_kernel)."""
+    rank order = (score desc, doc_id asc).  ``use_pruning``:
+    True/False force the WAND path on/off; "auto" (default) prunes
+    only when a query term is selective enough to pay
+    (:func:`_pruning_pays`).  All three settings return identical
+    rows (pruning is exact — pinned by test_wand_equals_full).
+    ``counters``: optional {'blocks_total', 'blocks_scored'} Spark
+    accumulators for WAND-pruning evidence (see
+    _score_shard_kernel)."""
     reader = (index_dir if isinstance(index_dir, IndexReader)
               else IndexReader(spark, index_dir))
     terms = vector_query_terms(query, stopwords)
     mult = dict(Counter(terms))
     params = reader.term_params(mult)
+    if use_pruning == "auto":
+        use_pruning = _pruning_pays(params)
     rows = reader.postings_for(list(params))
     scored = rows.select("term", "salt", "blocks").groupBy("salt").applyInPandas(
         _score_shard_kernel(params, scheme, k, reader.salt_map,

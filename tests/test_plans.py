@@ -39,6 +39,26 @@ def test_stage1_input_prunes_html_and_broadcasts_map(
     assert "html" not in plan
 
 
+def test_boolean_urls_join_never_hints_result_broadcast(spark, reader):
+    """A boolean result is unbounded (an OR over hot terms can match
+    most of a web corpus), so the url join must NOT carry a broadcast
+    hint on the result side — AQE may still broadcast at runtime off
+    ACTUAL size stats, which is correct; an unconditional hint OOMs
+    executors at scale.  The ranked path may hint (k-row result)."""
+    from rechercheinfoweb_spark.operators.query_bool import (
+        boolean_search,
+    )
+    df = boolean_search(spark, reader, "search OR engine OR webpage",
+                        with_urls=True)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    # the ranked path's hint is intentional — keep it as contrast
+    v = vector_topk(spark, reader, "search engine", "bm25", k=5,
+                    with_urls=True)
+    vlogical = v._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in vlogical
+
+
 def test_topk_url_join_broadcasts_small_side(spark, reader):
     df = vector_topk(spark, reader, "search engine", "bm25", k=10,
                      with_urls=True)

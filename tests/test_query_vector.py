@@ -37,6 +37,31 @@ def test_wand_equals_exhaustive(spark, reader):
         assert a == b, q
 
 
+def test_pruning_auto_routes_and_matches(spark, reader):
+    """"auto" prunes only when some term is selective (df ≤ N/4 ⇔
+    idf ≥ ln 4); either branch returns identical rows."""
+    from collections import Counter
+
+    from rechercheinfoweb_spark.operators.query_vector import (
+        _pruning_pays, vector_query_terms, STOPWORDS,
+    )
+    def params_of(q):
+        terms = vector_query_terms(q, STOPWORDS)
+        return reader.term_params(dict(Counter(terms)))
+    # hot terms: df ≈ N on the fixture corpus → no pruning
+    assert not _pruning_pays(params_of("webpage content information"))
+    # df=1 tail term on the fixture corpus → pruning pays
+    assert _pruning_pays(params_of("term0556 search"))
+    for q in QUERIES:
+        auto = [(r["doc_id"], r["score"]) for r in
+                vector_topk(spark, reader, q, "bm25", k=10,
+                            use_pruning="auto").collect()]
+        off = [(r["doc_id"], r["score"]) for r in
+               vector_topk(spark, reader, q, "bm25", k=10,
+                           use_pruning=False).collect()]
+        assert auto == off, q
+
+
 def test_k_larger_than_matches(spark, reader, oracle_index):
     got = [(r["doc_id"], r["score"]) for r in
            vector_topk(spark, reader, "Zipf", "bm25", k=10**6).collect()]

@@ -111,6 +111,63 @@ def test_append_batch_reconciles_after_crash(spark, tmp_path_factory):
     assert m["n_docs"] == 10
 
 
+def test_live_readers_pin_snapshot_across_append_and_refresh(
+        spark, tmp_path_factory):
+    """Readers opened before an append/refresh serve the OLD snapshot
+    with bit-identical results the whole time — never a mixed view
+    (new postings with old df, or vice versa).  The pin has three
+    legs: salt ≤ max_chunk filters appended chunks out, corpus_stats
+    is one atomically-replaced file, and refresh publishes the new
+    dictionary as a NEW version dir while keeping the previous one
+    for live readers (query_vector.py:58-64 claims this; here it's
+    pinned)."""
+    from rechercheinfoweb_spark.operators.serve_local import (
+        LocalSearcher,
+    )
+
+    out = str(tmp_path_factory.mktemp("live_idx"))
+    pages = synthetic_web_pages(spark, 120).collect()
+    first = spark.createDataFrame(pages[:80], WEB_PAGES_SCHEMA)
+    extra = spark.createDataFrame(pages[80:], WEB_PAGES_SCHEMA)
+    build_index(spark, first, out, n_chunks=2, n_buckets=8)
+
+    r_old = IndexReader(spark, out)
+    l_old = LocalSearcher(out)
+    q = "search engine ranking"
+
+    def spark_res(reader):
+        return [(r["doc_id"], r["score"]) for r in
+                vector_topk(spark, reader, q, "bm25", k=10).collect()]
+
+    before = spark_res(r_old)
+    l_before = l_old.vector_query(q, "bm25", k=10)
+    assert before and before == l_before
+
+    # 1. un-refreshed append: invisible to live AND to newly-opened
+    # readers (corpus_stats still pins the old max_chunk)
+    inc.append_batch(spark, extra, out, batch_id=7, n_buckets=8)
+    assert spark_res(r_old) == before
+    assert l_old.vector_query(q, "bm25", k=10) == l_before
+    assert spark_res(IndexReader(spark, out)) == before
+    assert LocalSearcher(out).vector_query(q, "bm25", k=10) == l_before
+
+    # 2. refresh publishes the new snapshot — but readers opened on
+    # the old one keep answering from it, scores equal to the bit
+    inc.refresh(spark, out, n_buckets=8)
+    assert spark_res(r_old) == before
+    assert l_old.vector_query(q, "bm25", k=10) == l_before
+
+    # 3. readers opened after the refresh see the full corpus
+    r_new = IndexReader(spark, out)
+    assert r_new.n_docs == 120
+    assert LocalSearcher(out).n_docs == 120
+    after = spark_res(r_new)
+    # global df changed (80 → 120 docs), so old-snapshot scores must
+    # NOT leak into the new view
+    assert after != before
+    assert LocalSearcher(out).vector_query(q, "bm25", k=10) == after
+
+
 @pytest.fixture(scope="module")
 def events_src(spark, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("events_src"))
