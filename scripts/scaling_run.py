@@ -45,9 +45,11 @@ IX_DIR = os.path.join(SHM, "ix")
 
 
 def _pkg_zip() -> str:
-    """Zip the engine package for --py-files-style shipping."""
+    """Zip the engine package for --py-files-style shipping.
+    Per-pid path: concurrent children (interference probe) must not
+    write the same zip."""
     import zipfile
-    path = "/tmp/riw_pkg.zip"
+    path = f"/tmp/riw_pkg_{os.getpid()}.zip"
     with zipfile.ZipFile(path, "w") as z:
         pkg = os.path.join(REPO, "rechercheinfoweb_spark")
         for root, _, files in os.walk(pkg):
@@ -86,6 +88,14 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
                           extra_conf={"spark.local.dir": LOCAL_DIR})
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus)
+    # Warm-up BEFORE the timer: executor registration, pyfile
+    # distribution and one Python worker per task slot all happen on
+    # the first job (~20 s in local-cluster mode, identical at any
+    # size).  A real cluster's executors are long-lived, and the
+    # north rule targets steady-state indexing throughput — so the
+    # cold-start is excluded, for every config equally.
+    (spark.range(64 * cores, numPartitions=2 * cores)
+     .mapInPandas(lambda it: it, schema="id long").count())
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     res = build_index(spark, pages, out_dir, n_chunks=n_chunks,
@@ -157,12 +167,16 @@ def main() -> int:
     ap.add_argument("--child-executors", type=int, default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    # distinct output dir per concurrent child (interference probe
+    # runs two independent jobs side by side)
+    ap.add_argument("--out-suffix", default="", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child is not None or args.child_executors is not None:
         cores = args.child or (args.child_executors * args.executor_cores)
         child(cores, args.corpus,
-              os.path.join(IX_DIR, str(cores)), args.n_chunks,
+              os.path.join(IX_DIR, f"{cores}{args.out_suffix}"),
+              args.n_chunks,
               executors=args.child_executors,
               exec_cores=args.executor_cores)
         return 0
