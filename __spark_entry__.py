@@ -376,22 +376,26 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, [float(x) for x in qv], k=20)
 
 
-def _q_ann_index(spark, sf_dir):
-    """Materialized ANN index path: build once per embeddings
-    CONTENT (bucket-partitioned vectors), probe via partition-pruned
-    read.  The cache key fingerprints the source parquet (path +
-    size + mtime), so regenerated data at the same path rebuilds
-    the index instead of silently probing a stale one."""
+def _content_key(src: str) -> str:
+    """Fingerprint of a parquet source (path + file sizes + mtimes):
+    cache keys derived from it go stale the moment the data at that
+    path is regenerated."""
     import hashlib
-    import tempfile
-    src = f"{sf_dir}/embeddings.parquet"
     stat_parts = [src]
     for root, _dirs, files in os.walk(src) if os.path.isdir(src) \
             else [(os.path.dirname(src), [], [os.path.basename(src)])]:
         for f in sorted(files):
             st = os.stat(os.path.join(root, f))
             stat_parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5("|".join(stat_parts).encode()).hexdigest()[:12]
+    return hashlib.md5("|".join(stat_parts).encode()).hexdigest()[:12]
+
+
+def _q_ann_index(spark, sf_dir):
+    """Materialized ANN index path: build once per embeddings
+    CONTENT (bucket-partitioned vectors), probe via partition-pruned
+    read."""
+    import tempfile
+    key = _content_key(f"{sf_dir}/embeddings.parquet")
     out = os.path.join(tempfile.gettempdir(), f"riw_ann_{key}")
     emb = _emb(spark, sf_dir)
     if not os.path.exists(os.path.join(out, "ann_meta.json")):
@@ -399,6 +403,72 @@ def _q_ann_index(spark, sf_dir):
     qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return similarity.ann_index_topk(spark, out,
                                      [float(x) for x in qv], k=20)
+
+
+IVF_N_LISTS = 32   # ≈16 vectors/list at sf0.01
+IVF_N_PROBE = 8
+IVF_SEED = 11
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN path: vectors partitioned into Voronoi lists, query
+    probes the n_probe nearest lists by explicit path.  The contract
+    pins the seeded-ANCHOR quantizer (data-independent centroids →
+    the oracle recomputes assignment/probing from the same literals);
+    k-means training is the production default and is pinned by
+    tests/test_similarity.py instead."""
+    import tempfile
+    key = _content_key(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"riw_ivf_{key}")
+    emb = _emb(spark, sf_dir)
+    anchors = similarity.seeded_anchors(EMB_DIM, IVF_N_LISTS, IVF_SEED)
+    if not os.path.exists(os.path.join(out, "ivf_meta.json")):
+        similarity.build_ivf_index(spark, emb, out, centroids=anchors)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.ivf_topk(spark, out, [float(x) for x in qv],
+                               k=20, n_probe=IVF_N_PROBE)
+
+
+def _sql_ivf_topk(k: int = 20) -> str:
+    """Oracle for ann_ivf_topk: the same seeded anchors as SQL
+    literals; assignment = rounded-dot argmax (row_number, list_id
+    tie-break) exactly as similarity._ivf_assign_kernel; probe = the
+    n_probe best lists for the query by the same rule
+    (similarity.ivf_probe_lists); exact cosine re-rank."""
+    anchors = similarity.seeded_anchors(EMB_DIM, IVF_N_LISTS, IVF_SEED)
+    rows = []
+    for i, c in enumerate(anchors):
+        vec = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({i}, [{vec}]::DOUBLE[])")
+    cent = ("cent(list_id, c) AS (VALUES\n            "
+            + ",\n            ".join(rows) + ")")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            {cent},
+            assign AS (
+              SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, cent.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_dot_product(e.v, cent.c),
+                                        6) DESC,
+                                  cent.list_id ASC) AS rn
+                FROM e CROSS JOIN cent) t
+              WHERE rn = 1),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (SELECT cent.list_id FROM cent, q
+                      ORDER BY round(list_dot_product(q.qv, cent.c),
+                                     6) DESC,
+                               cent.list_id ASC
+                      LIMIT {IVF_N_PROBE}),
+            qn AS (SELECT sqrt(list_dot_product(qv, qv)) AS nq FROM q)
+        SELECT e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (greatest(sqrt(list_dot_product(e.v, e.v)),
+                                 1e-12) * qn.nq), 6) AS cosine
+        FROM e JOIN assign USING (vec_id), q, qn
+        WHERE assign.list_id IN (SELECT list_id FROM probe)
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
 def _q_embed_near_pairs(spark, sf_dir):
@@ -562,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_index_topk": _q_ann_index,
+        "ann_ivf_topk": _q_ann_ivf,
         "dd_embed_near_pairs": _q_embed_near_pairs,
         "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
         "ev_hourly": _q_events_hourly,
@@ -786,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_jaccard_pairs_capped": jaccard_pairs_sql(JACCARD_DF_CAP),
         "ann_lsh_topk": _sql_ann_probe(),
         "ann_index_topk": _sql_ann_probe(),
+        "ann_ivf_topk": _sql_ivf_topk(),
         "dd_embed_near_pairs_lsh": _sql_embed_lsh_pairs(),
         "dd_simhash": f"""
             WITH {_sql_simhash()}

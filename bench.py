@@ -158,6 +158,28 @@ def main() -> None:
         for i in range(200):
             local.vector_query(lq[i % len(lq)], "bm25", k=20)
     extra["local_serve_qps"] = round(200 / timings["local_serve_200q"], 1)
+    # same 200 queries through the full HTTP surface (socket + JSON
+    # serialization on top of LocalSearcher) — the serving overhead a
+    # deployment actually pays
+    import json as _json
+    import threading
+    import urllib.request
+
+    from rechercheinfoweb_spark.httpserver import make_server
+    srv = make_server({"bench": local}, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    from urllib.parse import quote_plus
+    urls = [f"{base}/?search={quote_plus(q)}&corpus=bench"
+            f"&type=vectorial&weight=bm25&format=json" for q in lq]
+    with urllib.request.urlopen(urls[0]) as r:  # warm
+        _json.load(r)
+    with timed("http_serve_200q"):
+        for i in range(200):
+            with urllib.request.urlopen(urls[i % len(urls)]) as r:
+                _json.load(r)
+    srv.shutdown()
+    extra["http_serve_qps"] = round(200 / timings["http_serve_200q"], 1)
     with timed("boolean"):
         boolean_search(spark, reader, "search AND engine AND NOT ranking"
                        ).collect()

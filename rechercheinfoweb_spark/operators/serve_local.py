@@ -62,6 +62,7 @@ class LocalSearcher:
         stats = pq.read_table(
             os.path.join(index_dir, "corpus_stats")).to_pylist()[0]
         check_layout(stats)
+        self.stats = stats  # full corpus_stats row (httpserver /stat)
         self._dict_version = dict_version_of(stats)
         self.n_docs = stats["n_docs"]
         self.n_buckets = stats["n_buckets"]
@@ -193,7 +194,8 @@ class LocalSearcher:
 
     def vector_query(self, query: str, scheme: str = "bm25",
                      k: int = 20, with_urls: bool = False,
-                     stopwords: frozenset[str] = STOPWORDS) -> list:
+                     stopwords: frozenset[str] = STOPWORDS,
+                     with_total: bool = False):
         """Top-k [(doc_id, score[, url])] — rank-identical (scores
         bit-equal) to the Spark path: same decode, same sorted-term
         float accumulation order (a doc takes each term's
@@ -215,6 +217,11 @@ class LocalSearcher:
           matters when one serving process faces a 10^9-doc shard.
           (At 10^12 docs serving is bucket-range-sharded anyway;
           DENSE_MAX_DOCS is per-process insurance, ~256 MB scratch.)
+
+        With ``with_total`` returns ``(results, n_candidates)`` —
+        the total hit count (docs matching >= 1 term, the number the
+        reference reports as its result-list size) without
+        materializing more than k result rows.
         """
         wcol = SCHEME_COL[scheme]
         mult = Counter(vector_query_terms(query, stopwords))
@@ -227,7 +234,7 @@ class LocalSearcher:
                 ids_parts.append(ids)
                 contrib_parts.append(m * w[:, wcol])
         if not ids_parts:
-            return []
+            return ([], 0) if with_total else []
         if self.n_docs <= DENSE_MAX_DOCS:
             if self._scores is None:
                 self._scores = np.zeros(self.n_docs + 2)
@@ -250,9 +257,11 @@ class LocalSearcher:
         sel, top_scores = _topk_select(cand, scores, k)
         if with_urls:
             urls = self._load_urls()
-            return [(int(d), float(s), urls[d])
-                    for d, s in zip(sel, top_scores)]
-        return [(int(d), float(s)) for d, s in zip(sel, top_scores)]
+            out = [(int(d), float(s), urls[d])
+                   for d, s in zip(sel, top_scores)]
+        else:
+            out = [(int(d), float(s)) for d, s in zip(sel, top_scores)]
+        return (out, int(cand.size)) if with_total else out
 
     # ---- boolean ----------------------------------------------------
 
@@ -260,12 +269,16 @@ class LocalSearcher:
         ids, _w = self._decoded_postings(bool_query_term(word))
         return np.sort(ids)
 
-    def boolean_query(self, query: str) -> list[int]:
+    def boolean_query_np(self, query: str) -> np.ndarray:
         """Same set-algebra spec as the Spark path
-        (query_bool._eval_ast_numpy), over whole-corpus id arrays."""
+        (query_bool._eval_ast_numpy); sorted int64 ids.  The numpy
+        form lets servers slice a page without materializing the
+        whole result as Python objects."""
         ast = parse_boolean(query)
         if ast is None:
-            return []
-        return [int(x) for x in
-                _eval_ast_numpy(ast, self._term_ids,
-                                np.zeros(0, dtype=np.int64))]
+            return np.zeros(0, dtype=np.int64)
+        return _eval_ast_numpy(ast, self._term_ids,
+                               np.zeros(0, dtype=np.int64))
+
+    def boolean_query(self, query: str) -> list[int]:
+        return [int(x) for x in self.boolean_query_np(query)]

@@ -18,11 +18,17 @@ Three paths, one contract:
 * ``build_ann_index`` / ``ann_index_topk`` — the 100-TB path: the
   signature pass runs ONCE at build time and lands as a parquet
   table partitioned by (table_id, bucket) with the vectors stored
-  in-bucket (IVF-style).  A query probes exactly ``n_tables``
-  partitions via partition-pruned filters and re-ranks only those
-  candidates — per-query cost is proportional to bucket size, never
-  to corpus size.  Plane geometry is regenerated from the recorded
+  in-bucket.  A query probes exactly ``n_tables`` partitions via
+  partition-pruned filters and re-ranks only those candidates —
+  per-query cost is proportional to bucket size, never to corpus
+  size.  Plane geometry is regenerated from the recorded
   (dim, n_planes, n_tables, seed), so the index is self-describing.
+* ``build_ivf_index`` / ``ivf_topk`` — the other classic ANN family:
+  a centroid quantizer (seeded anchors, or spherical k-means trained
+  on a bounded sample) partitions vectors into Voronoi lists; a
+  query probes the ``n_probe`` nearest lists.  Same partitioned
+  storage + explicit-path probe shape; better candidate
+  concentration than hyperplane signs on clustered data.
 
 Recall is tunable via (n_planes, n_tables); tests pin recall ≥ 0.8
 @ k=10 on the synthetic table and exact agreement of re-ranked
@@ -204,6 +210,160 @@ def ann_index_topk(spark: SparkSession, index_dir: str,
     rows = (spark.read.parquet(*paths)
             .select(meta["id_col"], meta["vec_col"])
             .dropDuplicates([meta["id_col"]]))
+    return cosine_topk(rows, query_vec, k, meta["id_col"],
+                       meta["vec_col"], round_to)
+
+
+# ---- IVF (inverted-file) ANN index ----------------------------------
+#
+# The second classic ANN family next to LSH: partition the vector
+# space into Voronoi cells around centroid "lists", store each vector
+# in its nearest list, probe only the n_probe lists closest to the
+# query.  Same storage/probe shape as build_ann_index (partitioned
+# parquet + explicit-path reads) but with a learned/placed quantizer
+# instead of hyperplane signs — recall concentrates candidates far
+# better on clustered data.
+#
+# Determinism contract: assignments use ROUNDED dot products with a
+# lowest-list tie-break, so any engine (numpy here, SQL in the DuckDB
+# oracle) reproduces them bit-for-bit from the same centroid
+# literals.  The driver-contract query uses seeded ANCHOR centroids
+# (data-independent, emitted into the oracle SQL); production builds
+# default to k-means-trained centroids from a bounded sample — the
+# index layout and probe path are identical either way.
+
+
+def seeded_anchors(dim: int, n_lists: int, seed: int = 11
+                   ) -> np.ndarray:
+    """Data-independent unit-norm centroids (the oracle-able
+    quantizer)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(sample: np.ndarray, n_lists: int,
+                        n_iters: int = 10, seed: int = 11
+                        ) -> np.ndarray:
+    """Spherical k-means (Lloyd) over an L2-normalized sample —
+    deterministic: seeded distinct-point init, argmax assignment,
+    empty lists keep their previous centroid.  A bounded sample
+    (10^4-10^5 vectors) trains centroids for a corpus of any size;
+    at 100 TB this is one driver-side numpy job on a TABLESAMPLE."""
+    x = np.asarray(sample, dtype=np.float64)
+    xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                     1e-12, None)
+    rng = np.random.default_rng(seed)
+    n = len(xn)
+    init = rng.choice(n, size=min(n_lists, n), replace=False)
+    c = xn[np.sort(init)].copy()
+    if len(c) < n_lists:  # degenerate tiny sample: pad with anchors
+        c = np.vstack([c, seeded_anchors(x.shape[1],
+                                         n_lists - len(c), seed)])
+    for _ in range(n_iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(n_lists):
+            members = xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    c[j] = m / nrm
+    return c
+
+
+def _ivf_assign_kernel(centroids: np.ndarray, id_col: str,
+                       vec_col: str, round_to: int):
+    """mapInPandas: (id, vec) → (id, vec, list_id) — one matmul per
+    Arrow batch; argmax over ROUNDED dots, first-max = lowest list
+    (the tie rule the SQL oracle mirrors with row_number)."""
+    ct = centroids.T.copy()
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col].to_numpy()])
+            d = np.round(v @ ct, round_to)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col].to_numpy(),
+                "list_id": np.argmax(d, axis=1).astype(np.int32),
+            })
+
+    return fn
+
+
+def build_ivf_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+                    *, centroids: np.ndarray | None = None,
+                    n_lists: int = 64, sample_size: int = 4096,
+                    n_iters: int = 10, seed: int = 11,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6) -> dict:
+    """Assign every vector to its nearest centroid list and land the
+    table as parquet partitioned by ``list_id`` (vectors in-list).
+    Pass ``centroids`` to pin the quantizer (the contract does, with
+    :func:`seeded_anchors`); default trains spherical k-means on an
+    id-ordered sample.  One narrow shuffle (repartition by list) —
+    at any corpus size the write is a single pass."""
+    if centroids is None:
+        rows = (emb.select(vec_col).orderBy(id_col)
+                .limit(sample_size).collect())
+        centroids = train_ivf_centroids(
+            np.array([r[0] for r in rows]), n_lists, n_iters, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    n_lists = len(centroids)
+    schema = f"{id_col} long, {vec_col} array<double>, list_id int"
+    assigned = (emb.select(F.col(id_col),
+                           F.col(vec_col).cast("array<double>")
+                           .alias(vec_col))
+                .mapInPandas(_ivf_assign_kernel(
+                    centroids, id_col, vec_col, round_to),
+                    schema=schema))
+    (assigned.repartition(min(n_lists, 64), "list_id")
+     .write.partitionBy("list_id").mode("overwrite")
+     .parquet(os.path.join(out_dir, "lists")))
+    meta = {"kind": "ivf", "n_lists": n_lists,
+            "dim": int(centroids.shape[1]), "round_to": round_to,
+            "id_col": id_col, "vec_col": vec_col,
+            "centroids": [[float(x) for x in c] for c in centroids]}
+    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_probe_lists(centroids: np.ndarray, query_vec: np.ndarray,
+                    n_probe: int, round_to: int = 6) -> list[int]:
+    """The n_probe lists nearest the query (rounded score desc,
+    list_id asc — deterministic, oracle-mirrorable)."""
+    scores = np.round(np.asarray(centroids, dtype=np.float64)
+                      @ np.asarray(query_vec, dtype=np.float64),
+                      round_to)
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    return [int(i) for i in order[:n_probe]]
+
+
+def ivf_topk(spark: SparkSession, index_dir: str,
+             query_vec: list[float], k: int = 10, n_probe: int = 8,
+             round_to: int = 6) -> DataFrame:
+    """Probe the IVF index: read EXACTLY n_probe list directories by
+    explicit path (no partition discovery), exact cosine re-rank —
+    per-query cost O(probed lists), never O(corpus)."""
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    lists = ivf_probe_lists(cents, qv, n_probe, meta["round_to"])
+    base = os.path.join(index_dir, "lists")
+    paths = [os.path.join(base, f"list_id={i}") for i in lists]
+    paths = [p for p in paths if os.path.isdir(p)]  # empty lists
+    if not paths:
+        return spark.createDataFrame(
+            [], f"{meta['id_col']} long, cosine double")
+    rows = (spark.read.parquet(*paths)
+            .select(meta["id_col"], meta["vec_col"]))
     return cosine_topk(rows, query_vec, k, meta["id_col"],
                        meta["vec_col"], round_to)
 

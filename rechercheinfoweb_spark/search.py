@@ -9,9 +9,9 @@ search.go:95-105; our titles ARE the urls per the web_pages model),
 and a point lookup serves single documents (cacm_server.go:21-48).
 
 A user of the reference switches here by replacing HTTP calls with
-:class:`SearchService` calls; wiring this into any HTTP framework is
-trivial and deliberately out of scope (no web framework in the
-container).
+:class:`SearchService` calls — or keeps speaking HTTP to
+:mod:`.httpserver`, the stdlib-only twin of server.go's routes over
+the in-process :class:`~.operators.serve_local.LocalSearcher`.
 """
 
 from __future__ import annotations

@@ -69,3 +69,60 @@ def test_lsh_near_dup_recall(clustered_emb):
     assert approx <= truth  # exact-cosine filter: no false positives
     recall = len(approx & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_ivf_all_probe_equals_exact(spark, clustered_emb,
+                                    tmp_path_factory):
+    """Probing every IVF list is an exact scan: must equal
+    brute-force cosine_topk bit-for-bit (k-means-trained
+    centroids, the production default)."""
+    out = str(tmp_path_factory.mktemp("ivf_idx"))
+    meta = similarity.build_ivf_index(spark, clustered_emb, out,
+                                      n_lists=16, sample_size=100)
+    assert meta["n_lists"] == 16
+    qv = clustered_emb.where("vec_id = 7").collect()[0]["embedding"]
+    exact = [(r["vec_id"], r["cosine"]) for r in
+             similarity.cosine_topk(clustered_emb, qv, k=10).collect()]
+    allp = [(r["vec_id"], r["cosine"]) for r in
+            similarity.ivf_topk(spark, out, qv, k=10,
+                                n_probe=16).collect()]
+    assert allp == exact
+
+
+def test_ivf_recall_and_probe_bound(spark, clustered_emb,
+                                    tmp_path_factory):
+    """With trained centroids on clustered data, a 4/16-list probe
+    keeps high recall@10 — and the probe only reads n_probe list
+    dirs (candidate count strictly below the corpus)."""
+    out = str(tmp_path_factory.mktemp("ivf_idx2"))
+    similarity.build_ivf_index(spark, clustered_emb, out,
+                               n_lists=16, sample_size=100)
+    qv = clustered_emb.where("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(clustered_emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(spark, out, qv, k=10,
+                                  n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.8
+    assert approx[0] == 0  # query vector is its own nearest
+
+
+def test_ivf_anchor_quantizer_deterministic(spark, clustered_emb,
+                                            tmp_path_factory):
+    """Anchor-quantizer build (the oracle-pinned variant): same
+    seed → identical assignments across two builds, and
+    ivf_probe_lists is stable under its rounding/tie rule."""
+    a1 = similarity.build_ivf_index(
+        spark, clustered_emb, str(tmp_path_factory.mktemp("iva")),
+        centroids=similarity.seeded_anchors(32, 8, seed=3))
+    a2 = similarity.build_ivf_index(
+        spark, clustered_emb, str(tmp_path_factory.mktemp("ivb")),
+        centroids=similarity.seeded_anchors(32, 8, seed=3))
+    assert a1["centroids"] == a2["centroids"]
+    qv = np.asarray(
+        clustered_emb.where("vec_id = 3").collect()[0]["embedding"])
+    cents = np.asarray(a1["centroids"])
+    assert (similarity.ivf_probe_lists(cents, qv, 3)
+            == similarity.ivf_probe_lists(cents, qv, 3))
+    assert len(similarity.ivf_probe_lists(cents, qv, 99)) == 8
