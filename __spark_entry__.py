@@ -471,6 +471,54 @@ def _sql_ivf_topk(k: int = 20) -> str:
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
+def _sql_engine_bm25_nostem(k: int = 20) -> str:
+    """Oracle for the PHYSICAL engine path at stem=False: DuckDB
+    re-derives the engine's doc ids (row_number by url — the build's
+    assign_doc_ids spec), its tokenizer (charset regex + len>=3 +
+    stopword filter; TOKEN_RE is ASCII-equivalent on this corpus,
+    which is all-ASCII by construction), its corpus stats (avgdl =
+    sum_dl / n_docs over ALL docs, the engine's definition), and
+    BM25 from (tf, dl, df) — the exact statistics the engine decodes
+    back out of its varint posting blocks.  A hash match therefore
+    certifies the whole artifact round-trip, not a DataFrame
+    recomputation."""
+    from rechercheinfoweb_spark.functions.tokenizer import STOPWORDS
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+        WITH ids AS (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY source || '/' || CAST(doc_id AS VARCHAR))
+                     AS BIGINT) AS doc_id,
+                     text
+              FROM documents),
+             toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            '[0-9A-Za-z''\\-/]+')) AS term
+              FROM ids),
+             ft AS (
+              SELECT doc_id, term FROM toks
+              WHERE length(term) >= 3 AND term NOT IN ({stop})),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM ft GROUP BY doc_id, term),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             dls AS (SELECT doc_id, sum(tf) AS dl
+                     FROM tf GROUP BY doc_id),
+             ad AS (SELECT sum(dl) * 1.0 / (SELECT n_docs FROM n)
+                        AS avgdl FROM dls),
+             dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id,
+               round(sum(
+                 ln((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1)
+                 * (tf.tf * ({K1} + 1))
+                 / (tf.tf + {K1} * (1 - {B} + {B} * dls.dl / ad.avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id), n, ad
+        WHERE tf.term IN ('data','query','stream')
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def _q_embed_near_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < PAIR_DOC_LIMIT)
     return similarity.embedding_near_dup_pairs(emb, threshold=0.15)
@@ -605,6 +653,40 @@ def _q_engine_bm25(spark, sf_dir):
                        k=20)
 
 
+def _q_engine_bm25_nostem(spark, sf_dir):
+    """Full PHYSICAL engine path — packed v4 posting blocks on disk,
+    bucket/salt-pruned scan, shard score kernel, global merge — built
+    with ``stem=False``, the one engine configuration whose whole
+    query pipeline is ANSI-SQL expressible.  This is the contract row
+    that oracle-checks the index ARTIFACT itself against DuckDB (the
+    stemmed twin ``ix_engine_bm25_topk`` stays rows-only because
+    Porter2 has no SQL form); tokenizer filters (len>=3 + stopwords)
+    and BM25 from stored (tf, dl) must all round-trip the codec
+    exactly for this row to hash-match.
+
+    Scores cross the engine/DuckDB boundary, so both sides round to
+    6dp and re-rank by (rounded score, doc_id); the engine side pulls
+    every candidate (k > corpus) so rounding can never shift the
+    top-20 boundary between the two sides."""
+    import hashlib
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.operators.query_vector import vector_topk
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"riw_ixns_{key}")
+    pages = documents_as_web_pages(spark, sf_dir)
+    build_index(spark, pages, out, n_chunks=2, n_buckets=8,
+                stem=False, resume=True)
+    res = vector_topk(spark, out, "data query stream", scheme="bm25",
+                      k=1_000_000)
+    return (res.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_term_doc_tf": _q_term_doc_tf,
@@ -641,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_value_percentiles": _q_value_percentiles,
         "ft_heaps_curve": _q_heaps_curve,
         "ix_engine_bm25_topk": _q_engine_bm25,
+        "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
     }
 
 
@@ -984,4 +1067,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id""",
+        "ix_engine_bm25_nostem": _sql_engine_bm25_nostem(),
     }

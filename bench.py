@@ -185,6 +185,24 @@ def main() -> None:
                        ).collect()
         boolean_search(spark, reader, "index OR postings merge").collect()
 
+    # ---- chunk compaction (LSM segment merge) ---------------------
+    # merge the build's 8 chunks to ~2: pure block-list concatenation
+    # (no varint re-encode), then the same 3 BM25 queries against the
+    # compacted snapshot — fewer shards = fewer applyInPandas groups
+    # and fewer partition dirs per query
+    from rechercheinfoweb_spark.operators.compact import compact_chunks
+    with timed("compact_chunks"):
+        cinfo = compact_chunks(spark, out, target_docs=n_corpus // 2,
+                               keep_previous=False)
+    extra["compact_chunks"] = (f"{cinfo['n_chunks_before']}->"
+                               f"{cinfo['n_chunks_after']}")
+    reader_c = IndexReader(spark, out)
+    vector_topk(spark, reader_c, "warm up", "bm25", k=5).collect()
+    with timed("bm25_topk_after_compact"):
+        for q in bench_queries:
+            vector_topk(spark, reader_c, q, "bm25", k=20,
+                        use_pruning=True).collect()
+
     # ---- WAND selectivity evidence --------------------------------
     # The headline corpus's Zipf floor is df/N ≈ 1.4% — every term
     # matches most docs, θ can't clear blocks, pruning is provably

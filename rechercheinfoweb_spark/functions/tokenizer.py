@@ -65,23 +65,31 @@ def raw_tokens(text: str) -> list[str]:
 
 
 def index_tokens_from_raw(raw: list[str],
-                          stopwords: frozenset[str] = STOPWORDS
-                          ) -> list[str]:
+                          stopwords: frozenset[str] = STOPWORDS,
+                          use_stem: bool = True) -> list[str]:
     """T4 len/stopword filter → T5 stem over pre-split charset tokens
     (the build kernels split once with TOKEN_RE and reuse the raw
-    list for the Heaps count, so this is the shared back half)."""
+    list for the Heaps count, so this is the shared back half).
+
+    ``use_stem=False`` skips T5 — an engine configuration (recorded
+    in corpus_stats) whose query pipeline is fully ANSI-SQL
+    expressible, which the driver contract exploits to oracle-check
+    the PHYSICAL engine path (packed index → shard kernel → WAND)
+    against DuckDB directly."""
     out = []
     for tok in raw:
         if len(tok) < MIN_TOKEN_LEN or tok in stopwords:
             continue
-        out.append(stem(tok) if len(tok) >= STEM_MIN_LEN else tok)
+        out.append(stem(tok) if use_stem and len(tok) >= STEM_MIN_LEN
+                   else tok)
     return out
 
 
 _MISS = object()
 
 
-def make_index_token_mapper(stopwords: frozenset[str] = STOPWORDS):
+def make_index_token_mapper(stopwords: frozenset[str] = STOPWORDS,
+                            use_stem: bool = True):
     """Memoized twin of :func:`index_tokens_from_raw` for the build
     kernels' hot loop: one dict probe per raw token instead of the
     len/stopword/stem call chain (Zipf vocabularies make the hit
@@ -101,7 +109,8 @@ def make_index_token_mapper(stopwords: frozenset[str] = STOPWORDS):
                 if len(tok) < MIN_TOKEN_LEN or tok in stopwords:
                     r = None
                 else:
-                    r = stem(tok) if len(tok) >= STEM_MIN_LEN else tok
+                    r = (stem(tok) if use_stem
+                         and len(tok) >= STEM_MIN_LEN else tok)
                 memo[tok] = r
             if r is not None:
                 append(r)
@@ -110,26 +119,32 @@ def make_index_token_mapper(stopwords: frozenset[str] = STOPWORDS):
     return mapped
 
 
-def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS) -> list[str]:
+def index_tokens(text: str, stopwords: frozenset[str] = STOPWORDS,
+                 use_stem: bool = True) -> list[str]:
     """Index-time pipeline: T1 charset → T4 len/stopword filter → T5 stem."""
-    return index_tokens_from_raw(TOKEN_RE.findall(text), stopwords)
+    return index_tokens_from_raw(TOKEN_RE.findall(text), stopwords,
+                                 use_stem)
 
 
 def vector_query_terms(
-    query: str, stopwords: frozenset[str] = STOPWORDS
+    query: str, stopwords: frozenset[str] = STOPWORDS,
+    use_stem: bool = True
 ) -> list[str]:
     """Vector-query pipeline (Q7 front half): T2 split → stopword on
     raw word → stem len>3.  Duplicates kept (they score twice,
-    vector_query.go:33-35)."""
+    vector_query.go:33-35).  ``use_stem`` must match the index's
+    corpus_stats ``stemmed`` flag (readers pass it through)."""
     out = []
     for tok in QUERY_TOKEN_RE.findall(query):
         if tok in stopwords:
             continue
-        out.append(stem(tok) if len(tok) >= STEM_MIN_LEN else tok)
+        out.append(stem(tok) if use_stem and len(tok) >= STEM_MIN_LEN
+                   else tok)
     return out
 
 
-def bool_query_term(word: str) -> str:
+def bool_query_term(word: str, use_stem: bool = True) -> str:
     """Boolean-query term normalization: stem len>3, no stopwording
     (bool_query.go:52-58)."""
-    return stem(word) if len(word) >= STEM_MIN_LEN else word
+    return (stem(word) if use_stem and len(word) >= STEM_MIN_LEN
+            else word)

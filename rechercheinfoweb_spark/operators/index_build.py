@@ -143,6 +143,14 @@ class IndexPaths:
     def chunks(self) -> str:
         return os.path.join(self.out_dir, "chunks")
 
+    def chunks_version(self, version: int | None) -> str:
+        """Path of one immutable registry snapshot (written by
+        finalize next to the working registry).  ``None`` = the
+        working registry itself (pre-snapshot layout)."""
+        if version is None:
+            return self.chunks
+        return os.path.join(self.out_dir, f"chunks.v{version}")
+
     def dictionary_version(self, version: int | None) -> str:
         """Path of one immutable dictionary snapshot.  ``None`` =
         the pre-versioning layout (dictionary written in place)."""
@@ -170,6 +178,47 @@ def dict_version_of(stats) -> int | None:
     an index finalized before dictionary versioning)."""
     d = stats.asDict() if hasattr(stats, "asDict") else stats
     return d.get("dict_version")
+
+
+def stemmed_of(stats_or_paths) -> int:
+    """Whether an index was built with Porter2 stemming (1/0).
+    Accepts a corpus_stats row/dict or an IndexPaths; indexes
+    finalized before the flag existed were always stemmed."""
+    if isinstance(stats_or_paths, IndexPaths):
+        if not os.path.exists(stats_or_paths.corpus_stats):
+            return 1
+        import pyarrow.parquet as pq
+        d = pq.read_table(stats_or_paths.corpus_stats).to_pylist()[0]
+    else:
+        d = (stats_or_paths.asDict()
+             if hasattr(stats_or_paths, "asDict") else stats_or_paths)
+    v = d.get("stemmed")
+    return 1 if v is None else int(v)
+
+
+def snapshot_registry(paths: IndexPaths, stats) -> list[dict]:
+    """The chunk set belonging to the snapshot a corpus_stats row
+    pins — the one thing a reader may scan.
+
+    Since compaction (see :mod:`.compact`) a chunk id is not an
+    append-order watermark any more: merged chunks take FRESH ids
+    above ``max_chunk``, so ``salt <= max_chunk`` would let a new
+    reader see both the merged chunk and the not-yet-pruned originals
+    (double counting).  finalize therefore publishes an immutable
+    registry snapshot ``chunks.v{dict_version}`` alongside the
+    dictionary version, both referenced by the atomically-replaced
+    corpus_stats; readers filter ``salt``/``chunk`` by membership in
+    that snapshot.  Fallback for indexes finalized before registry
+    versioning: the working registry filtered to ``chunk <=
+    max_chunk`` (exactly the old semantics — compaction refuses to
+    run on such an index until a refresh writes a snapshot)."""
+    ver = dict_version_of(stats)
+    snap = paths.chunks_version(ver)
+    if ver is not None and os.path.exists(snap):
+        return read_registry(snap)
+    d = stats.asDict() if hasattr(stats, "asDict") else stats
+    return [r for r in read_registry(paths.chunks)
+            if r["chunk"] <= d["max_chunk"]]
 
 
 def _stats_mtime(path: str) -> float:
@@ -228,7 +277,8 @@ def read_registry(path: str) -> list[dict]:
 
 
 def _tokenize_counts_kernel(stopwords: frozenset[str],
-                            block_rows: int = 65536):
+                            block_rows: int = 65536,
+                            use_stem: bool = True):
     """mapInPandas kernel: (doc_id, chunk, text) → per-(doc, term)
     tf rows — the inverted-index transpose feed.
 
@@ -240,7 +290,7 @@ def _tokenize_counts_kernel(stopwords: frozenset[str],
     def fn(batches):
         import pandas as pd
         from collections import Counter
-        mapped = make_index_token_mapper(stopwords)
+        mapped = make_index_token_mapper(stopwords, use_stem)
 
         def flush(terms, tfs, doc_meta):
             meta = np.asarray(doc_meta, dtype=np.int64)
@@ -277,7 +327,8 @@ def _tokenize_counts_kernel(stopwords: frozenset[str],
     return fn
 
 
-def _doc_stats_kernel(stopwords: frozenset[str]):
+def _doc_stats_kernel(stopwords: frozenset[str],
+                      use_stem: bool = True):
     """mapInPandas kernel: (doc_id, chunk, url, lang, text) → ONE
     stats row per doc (the docs dimension).  Runs tokenize a second
     time instead of materializing the 140×-larger term-row stream —
@@ -286,7 +337,7 @@ def _doc_stats_kernel(stopwords: frozenset[str]):
     def fn(batches):
         import pandas as pd
         from collections import Counter
-        mapped = make_index_token_mapper(stopwords)
+        mapped = make_index_token_mapper(stopwords, use_stem)
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "chunk", "url", "lang",
                                    "dl", "max_tf", "n_raw")}
@@ -360,6 +411,7 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
                    n_buckets: int = 16,
                    block_size: int = codec.DEFAULT_BLOCK,
                    k1: float = scoring.K1, b: float = scoring.B,
+                   stemmed: bool | None = None,
                    expected_n_docs: int | None = None) -> dict:
     """Stage 2: global metadata over ALL chunks in the registry —
     the ``dictionary`` table (term → global df, bucket-partitioned
@@ -369,6 +421,10 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     two small tables (idf/avgdl/df are applied at query time), so a
     refresh never touches posting bytes."""
     paths = IndexPaths(out_dir)
+    if stemmed is None:
+        # refresh/compact path: preserve the flag the index was
+        # built with (pre-flag indexes were always stemmed)
+        stemmed = bool(stemmed_of(paths))
     registry = read_registry(paths.chunks)
     chunk_list = [r["chunk"] for r in registry]
     docs_all = spark.read.option("basePath", paths.docs).parquet(
@@ -434,6 +490,12 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     df_table.unpersist()
 
     max_chunk = max(chunk_list) if chunk_list else -1
+    # registry snapshot: the immutable chunk set readers of THIS
+    # snapshot may scan (required once compaction renames chunks —
+    # see snapshot_registry).  Written before the stats commit under
+    # the same version number as the dictionary, so (dictionary,
+    # registry, stats) publish together or not at all.
+    write_registry(paths.chunks_version(dict_version), registry)
     # the COMMIT: one atomically-replaced parquet file (all values
     # are driver-side scalars — no Spark write, whose delete-then-
     # write overwrite is not crash-atomic).  Readers resolve the
@@ -446,7 +508,8 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
         vocabulary=vocab, heaps_b=heaps_b, heaps_k=heaps_k,
         n_chunks=len(chunk_list), max_chunk=max_chunk,
         n_buckets=n_buckets, block_size=block_size, k1=k1, b=b,
-        layout=INDEX_LAYOUT_VERSION, dict_version=dict_version)
+        layout=INDEX_LAYOUT_VERSION, dict_version=dict_version,
+        stemmed=int(stemmed))
     _prune_dict_versions(paths, keep_from=dict_version - 1)
     return {"n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
             "heaps_b": heaps_b, "heaps_k": heaps_k,
@@ -460,6 +523,7 @@ _CORPUS_STATS_TYPES = {
     "heaps_k": "float64", "n_chunks": "int32", "max_chunk": "int32",
     "n_buckets": "int32", "block_size": "int32", "k1": "float64",
     "b": "float64", "layout": "int32", "dict_version": "int32",
+    "stemmed": "int32",
 }
 
 
@@ -490,17 +554,23 @@ def _next_dict_version(paths: IndexPaths) -> int:
 
 
 def _prune_dict_versions(paths: IndexPaths, keep_from: int) -> None:
-    """Drop dictionary snapshots older than the PREVIOUS version:
-    the current one is live, the previous stays for readers opened
-    before this refresh (snapshot pin); anything older is
+    """Drop dictionary + registry snapshots older than the PREVIOUS
+    version: the current one is live, the previous stays for readers
+    opened before this refresh (snapshot pin); anything older is
     unreferenced."""
-    if not os.path.isdir(paths.dictionary):
-        return
-    for name in os.listdir(paths.dictionary):
-        if (name.startswith("v=") and name[2:].isdigit()
-                and int(name[2:]) < keep_from):
-            shutil.rmtree(os.path.join(paths.dictionary, name),
-                          ignore_errors=True)
+    if os.path.isdir(paths.dictionary):
+        for name in os.listdir(paths.dictionary):
+            if (name.startswith("v=") and name[2:].isdigit()
+                    and int(name[2:]) < keep_from):
+                shutil.rmtree(os.path.join(paths.dictionary, name),
+                              ignore_errors=True)
+    for name in os.listdir(paths.out_dir):
+        if (name.startswith("chunks.v") and name[8:].isdigit()
+                and int(name[8:]) < keep_from):
+            try:
+                os.remove(os.path.join(paths.out_dir, name))
+            except OSError:
+                pass
 
 
 def term_bucket(col, n_buckets: int):
@@ -520,6 +590,7 @@ def build_index(
     stopwords: frozenset[str] = STOPWORDS,
     k1: float = scoring.K1,
     b: float = scoring.B,
+    stem: bool = True,
     resume: bool = False,
     chunk_batch: int | None = None,
     fail_after_chunk: int | None = None,
@@ -551,7 +622,8 @@ def build_index(
                    "layout": INDEX_LAYOUT_VERSION,
                    "n_chunks": n_chunks,
                    "block_size": block_size,
-                   "n_buckets": n_buckets}
+                   "n_buckets": n_buckets,
+                   "stem": stem}
     if resume and stage_complete(out_dir, "stage0", fingerprint):
         resumed.append("stage0")
         n_docs = read_manifest(out_dir, "stage0")["n_docs"]
@@ -565,6 +637,12 @@ def build_index(
                   paths.url_map,
                   os.path.join(out_dir, "segments")):  # pre-v4 dir
             shutil.rmtree(p, ignore_errors=True)
+        for name in os.listdir(out_dir):  # stale registry snapshots
+            if name.startswith("chunks.v"):
+                try:
+                    os.remove(os.path.join(out_dir, name))
+                except OSError:
+                    pass
         # Stage 0 materializes ONLY the url->(doc_id, chunk) map —
         # never a copy of the corpus (an earlier design rewrote all
         # pages partitioned by chunk; that write was the largest
@@ -663,7 +741,7 @@ def build_index(
         docs_g = (staged_g
                   .select("doc_id", "chunk", "url", "lang", "text")
                   .repartition(par, "doc_id")
-                  .mapInPandas(_doc_stats_kernel(stopwords),
+                  .mapInPandas(_doc_stats_kernel(stopwords, stem),
                                schema=DOC_STATS_SCHEMA))
         _writer(docs_g.select(*DOC_STATS_SCHEMA.fieldNames())) \
             .partitionBy("chunk").parquet(paths.docs)
@@ -679,8 +757,9 @@ def build_index(
         postings_g = (
             staged_g.select("doc_id", "chunk", "text")
             .repartition(par, "doc_id")
-            .mapInPandas(_tokenize_counts_kernel(stopwords),
-                         schema=TERM_ROWS_SCHEMA)
+            .mapInPandas(
+                _tokenize_counts_kernel(stopwords, use_stem=stem),
+                schema=TERM_ROWS_SCHEMA)
             .withColumn("tbucket",
                         term_bucket(F.col("term"), n_buckets))
             .repartition(4 * par, "chunk", "tbucket")
@@ -729,7 +808,7 @@ def build_index(
     ts = time.time()
     fin = finalize_index(spark, out_dir, n_buckets=n_buckets,
                          block_size=block_size, k1=k1, b=b,
-                         expected_n_docs=n_docs)
+                         stemmed=stem, expected_n_docs=n_docs)
     vocab, avgdl = fin["vocabulary"], fin["avgdl"]
     stage_secs["finalize"] = time.time() - ts
     wall_total = time.time() - t0

@@ -167,7 +167,7 @@ def _eval_ast_numpy(node, term_ids, prec: np.ndarray) -> np.ndarray:
     raise TypeError(f"unknown node {node!r}")
 
 
-def _eval_shard_kernel(ast):
+def _eval_shard_kernel(ast, use_stem: bool = True):
     """applyInPandas kernel over one salt shard's posting rows:
     decode each term's ids (first varint section only — no
     statistics decode), evaluate the AST on the shard's disjoint
@@ -186,7 +186,8 @@ def _eval_shard_kernel(ast):
         def term_ids(word: str) -> np.ndarray:
             hit = by_word.get(word)
             if hit is None:
-                lists = by_term.get(bool_query_term(word), [])
+                lists = by_term.get(
+                    bool_query_term(word, use_stem), [])
                 hit = (np.sort(np.concatenate(lists)) if lists
                        else np.zeros(0, dtype=np.int64))
                 by_word[word] = hit
@@ -209,12 +210,12 @@ def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
     if ast is None:
         res = spark.createDataFrame([], "doc_id long")
     else:
-        terms = sorted({bool_query_term(w)
+        terms = sorted({bool_query_term(w, reader.stemmed)
                         for w in _collect_words(ast, [])})
         rows = reader.postings_for(terms)
         res = (rows.select("term", "salt", "blocks")
                .groupBy("salt")
-               .applyInPandas(_eval_shard_kernel(ast),
+               .applyInPandas(_eval_shard_kernel(ast, reader.stemmed),
                               schema="doc_id long"))
     res = res.orderBy("doc_id")
     if with_urls:

@@ -52,7 +52,7 @@ from ..functions.tokenizer import STOPWORDS, vector_query_terms
 from ..functions.xxhash import spark_term_bucket
 from .index_build import (
     IndexPaths, _stats_mtime, check_layout, dict_version_of,
-    read_registry,
+    snapshot_registry, stemmed_of,
 )
 
 SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
@@ -151,13 +151,17 @@ class IndexReader:
         self.vocabulary = stats["vocabulary"]
         self.k1 = stats["k1"]
         self.b = stats["b"]
-        # chunk registry (driver-side file read, no Spark job):
-        # salt/chunk -> (first doc_id, chunk size); shard kernels map
-        # absolute ids to dense positions with it
+        self.stemmed = bool(stemmed_of(stats))
+        # chunk registry SNAPSHOT (driver-side file read, no Spark
+        # job): salt/chunk -> (first doc_id, chunk size); shard
+        # kernels map absolute ids to dense positions with it.  The
+        # snapshot is the authoritative chunk set — since compaction,
+        # membership (isin), not a `<= max_chunk` watermark, is what
+        # isolates this reader from appends AND from merged-away
+        # chunks awaiting pruning.
         self.salt_map: dict[int, tuple[int, int]] = {
             r["chunk"]: (r["min_id"], r["n_docs"])
-            for r in read_registry(self.paths.chunks)
-            if r["chunk"] <= self.max_chunk}
+            for r in snapshot_registry(self.paths, stats)}
         # one file-listing/schema pass per table, reused by every
         # query through this reader
         self._postings = spark.read.parquet(self.paths.postings)
@@ -225,7 +229,7 @@ class IndexReader:
         uniq = sorted(set(terms))
         return (self._postings
                 .where(F.col("bucket").isin(self._buckets_of(uniq)))
-                .where(F.col("salt") <= F.lit(self.max_chunk))
+                .where(F.col("salt").isin(sorted(self.salt_map)))
                 .where(F.col("term").isin(uniq)))
 
     def docs(self) -> DataFrame:
@@ -432,7 +436,8 @@ def vector_topk_batch(spark: SparkSession,
 
     reader = (index_dir if isinstance(index_dir, IndexReader)
               else IndexReader(spark, index_dir))
-    mults = {qid: dict(Counter(vector_query_terms(q, stopwords)))
+    mults = {qid: dict(Counter(vector_query_terms(
+        q, stopwords, use_stem=reader.stemmed)))
              for qid, q in queries.items()}
     mults = {qid: m for qid, m in mults.items() if m}
     all_mult: dict[str, int] = {}
@@ -491,7 +496,8 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
     _score_shard_kernel)."""
     reader = (index_dir if isinstance(index_dir, IndexReader)
               else IndexReader(spark, index_dir))
-    terms = vector_query_terms(query, stopwords)
+    terms = vector_query_terms(query, stopwords,
+                               use_stem=reader.stemmed)
     mult = dict(Counter(terms))
     params = reader.term_params(mult)
     if use_pruning == "auto":

@@ -44,7 +44,10 @@ from ..functions.tokenizer import (
     STOPWORDS, bool_query_term, vector_query_terms,
 )
 from ..functions.xxhash import spark_term_bucket
-from .index_build import check_layout, dict_version_of
+from .index_build import (
+    IndexPaths, check_layout, dict_version_of, snapshot_registry,
+    stemmed_of,
+)
 from .query_bool import _eval_ast_numpy, parse_boolean
 from .query_vector import _topk_select
 
@@ -72,6 +75,13 @@ class LocalSearcher:
         self.k1 = stats["k1"]
         self.b = stats["b"]
         self._dir = index_dir
+        self.stemmed = bool(stemmed_of(stats))
+        # snapshot chunk set: membership, not a <= max_chunk
+        # watermark, isolates this searcher from streaming appends
+        # and from compaction-merged chunks awaiting pruning
+        self._chunk_set = sorted(
+            r["chunk"] for r in snapshot_registry(
+                IndexPaths(index_dir), stats))
         self._max_cached = max_cached_buckets
         self._buckets: OrderedDict[int, dict] = OrderedDict()
         self._dfs: OrderedDict[int, dict] = OrderedDict()
@@ -104,7 +114,7 @@ class LocalSearcher:
             return None
         return pq.read_table(
             path, columns=columns,
-            filters=[("salt", "<=", self.max_chunk)]
+            filters=[("salt", "in", self._chunk_set)]
             if table_name == "postings" else None)
 
     def _bucket_postings(self, bucket: int) -> dict:
@@ -182,7 +192,7 @@ class LocalSearcher:
             # chunk filter: ignore partitions beyond this snapshot
             # (streaming appends or a previous larger build)
             t = pq.read_table(docs_dir, columns=["doc_id", "url"],
-                              filters=[("chunk", "<=", self.max_chunk)])
+                              filters=[("chunk", "in", self._chunk_set)])
             urls = np.empty(self.n_docs + 1, dtype=object)
             ids = t.column("doc_id").to_numpy()
             for i, u in zip(ids, t.column("url").to_pylist()):
@@ -224,7 +234,8 @@ class LocalSearcher:
         materializing more than k result rows.
         """
         wcol = SCHEME_COL[scheme]
-        mult = Counter(vector_query_terms(query, stopwords))
+        mult = Counter(vector_query_terms(query, stopwords,
+                                          use_stem=self.stemmed))
         ids_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
         for term in sorted(mult):
@@ -266,7 +277,8 @@ class LocalSearcher:
     # ---- boolean ----------------------------------------------------
 
     def _term_ids(self, word: str) -> np.ndarray:
-        ids, _w = self._decoded_postings(bool_query_term(word))
+        ids, _w = self._decoded_postings(
+            bool_query_term(word, self.stemmed))
         return np.sort(ids)
 
     def boolean_query_np(self, query: str) -> np.ndarray:

@@ -56,7 +56,8 @@ from ..operators.index_build import (
     DOC_STATS_SCHEMA, POSTINGS_SCHEMA, TERM_ROWS_SCHEMA,
     IndexPaths,
     _doc_stats_kernel, _pack_postings_kernel, _tokenize_counts_kernel,
-    finalize_index, read_registry, term_bucket, write_registry,
+    finalize_index, read_registry, stemmed_of, term_bucket,
+    write_registry,
 )
 from ..plans.checkpoints import read_manifest, write_manifest
 
@@ -108,6 +109,8 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
             return None
     ts = time.time()
     n_buckets = _index_n_buckets(paths, n_buckets)
+    # appended chunks MUST tokenize exactly like the existing index
+    use_stem = bool(stemmed_of(paths))
     next_chunk = (max(r["chunk"] for r in reg) + 1) if reg else 0
     next_id = (max(r["min_id"] + r["n_docs"] for r in reg)) if reg else 1
 
@@ -125,14 +128,15 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
     staged = staged.persist()  # micro-batch sized: safe to cache
     (staged.select("doc_id", "chunk", "url", "lang", "text")
      .repartition(par, "doc_id")
-     .mapInPandas(_doc_stats_kernel(stopwords),
+     .mapInPandas(_doc_stats_kernel(stopwords, use_stem),
                   schema=DOC_STATS_SCHEMA)
      .write.partitionBy("chunk")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.docs))
     (staged.select("doc_id", "chunk", "text")
      .repartition(par, "doc_id")
-     .mapInPandas(_tokenize_counts_kernel(stopwords),
+     .mapInPandas(_tokenize_counts_kernel(stopwords,
+                                         use_stem=use_stem),
                   schema=TERM_ROWS_SCHEMA)
      .withColumn("tbucket", term_bucket(F.col("term"), n_buckets))
      .groupBy("chunk", "tbucket")
