@@ -162,6 +162,10 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
 
     t0 = time.time()
     paths = IndexPaths(out_dir)
+    if not os.path.exists(paths.corpus_stats):
+        # never finalized: nothing is published, nothing to merge
+        return {"merged_groups": 0, "n_chunks_before": 0,
+                "n_chunks_after": 0, "wall_secs": 0.0}
     stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
     check_layout(stats)
     working = read_registry(paths.chunks)

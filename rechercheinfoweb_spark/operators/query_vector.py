@@ -133,10 +133,13 @@ class IndexReader:
     """Handle on a built index directory (one finalized snapshot).
 
     Chunks appended by the streaming path after the last
-    ``finalize_index`` are invisible until the next refresh:
-    ``corpus_stats.max_chunk`` pins the snapshot and every read
-    filters ``salt``/``chunk`` to it, so queries never mix new
-    postings with stale global statistics."""
+    ``finalize_index`` are invisible until the next refresh, and
+    chunks merged away by compaction stay visible to readers that
+    pinned them: corpus_stats references an immutable registry
+    snapshot (chunks.v{dict_version}) and every read filters
+    ``salt``/``chunk`` to its membership, so queries never mix new
+    postings with stale global statistics — or see a doc range
+    twice across a compaction."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark

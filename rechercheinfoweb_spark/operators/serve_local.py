@@ -18,10 +18,12 @@ computes each term's (n,4) weight matrix ONCE at load (df from the
 dictionary, global stats from corpus_stats) — steady-state hot-term
 queries touch neither the codec nor the weight math.
 
-Snapshot discipline: every read filters partitions to
-``corpus_stats.max_chunk`` — chunks appended by the streaming path
-since the last refresh are invisible, and partitions left on disk by
-a previous larger build can never leak into results.
+Snapshot discipline: every read filters partitions to the chunk
+set of the registry snapshot corpus_stats references — chunks
+appended by the streaming path since the last refresh are invisible,
+chunks merged away by compaction but not yet pruned never double-
+count, and partitions left on disk by a previous larger build can
+never leak into results.
 
 Division of labor at scale (the Lucene/ES shape, reached from Spark):
 Spark builds/refreshes the artifact; any number of stateless serving

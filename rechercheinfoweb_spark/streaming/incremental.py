@@ -16,14 +16,17 @@ simply *the next chunk*:
       write a per-batch manifest (lineage + docs/sec).
 
 Queries keep working against the last finalized snapshot while
-batches accumulate (readers pin ``corpus_stats.max_chunk`` and
-filter new salts out); :func:`refresh` re-runs the shared
-``finalize_index``, which under layout v4 is METADATA-ONLY — two
+batches accumulate (readers pin the registry snapshot corpus_stats
+references and filter new salts out); :func:`refresh` re-runs the
+shared ``finalize_index``, which under layout v4 is METADATA-ONLY — two
 small aggregations rebuilding the dictionary (global df) and
 corpus_stats — because scheme weights are computed at query time.
 No posting bytes are ever rewritten; a refresh costs seconds at any
 index size, so it can run per batch instead of on a reluctant
-cadence.
+cadence.  Long-running ingestion bounds its chunk count (and with it
+per-query shard fan-out) with :func:`..operators.compact.
+compact_chunks` on whatever cadence fits — compaction cost is
+proportional to the chunks merged, not the index.
 
 Exactly-once: Structured Streaming's checkpoint (WAL + committed
 offsets) guarantees each micro-batch is delivered once to
@@ -185,6 +188,8 @@ def refresh(spark: SparkSession, out_dir: str, *,
 def index_web_pages_stream(spark: SparkSession, stream_df: DataFrame,
                            out_dir: str, checkpoint_dir: str, *,
                            refresh_every: int | None = None,
+                           compact_every: int | None = None,
+                           compact_target_docs: int | None = None,
                            n_buckets: int = 16,
                            trigger: dict | None = None):
     """Start the incremental ingestion stream.
@@ -194,8 +199,15 @@ def index_web_pages_stream(spark: SparkSession, stream_df: DataFrame,
     source mapped to it).  With ``refresh_every=k`` the postings
     snapshot refreshes after every k-th micro-batch (else call
     :func:`refresh` on your own cadence — cheap either way, see
-    module docstring).
+    module docstring).  With ``compact_every=m`` every m-th applied
+    batch also runs :func:`..operators.compact.compact_chunks`
+    (which refreshes as its publish step) — unbounded ingestion then
+    holds chunk count, and with it per-query shard fan-out, at a
+    constant instead of one chunk per micro-batch forever.
     """
+    from ..operators.compact import compact_chunks
+    from ..operators.index_build import DOCS_PER_CHUNK
+
     n_seen = {"batches": 0}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -206,6 +218,10 @@ def index_web_pages_stream(spark: SparkSession, stream_df: DataFrame,
         n_seen["batches"] += 1
         if refresh_every and n_seen["batches"] % refresh_every == 0:
             refresh(spark, out_dir, n_buckets=n_buckets)
+        if compact_every and n_seen["batches"] % compact_every == 0:
+            compact_chunks(
+                spark, out_dir,
+                target_docs=compact_target_docs or DOCS_PER_CHUNK)
 
     writer = (stream_df.writeStream
               .option("checkpointLocation", checkpoint_dir)

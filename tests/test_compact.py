@@ -157,6 +157,49 @@ def test_compact_then_append_then_refresh(spark, tmp_path_factory):
         assert a == b and a
 
 
+def test_stream_with_auto_compaction(spark, tmp_path_factory):
+    """compact_every bounds chunk count during unbounded ingestion
+    while preserving exact batch-build equivalence."""
+    from rechercheinfoweb_spark.operators.index_build import (
+        build_index as _build,
+    )
+
+    n = 120
+    src = str(tmp_path_factory.mktemp("ac_src"))
+    pages = synthetic_web_pages(spark, n).collect()
+    step = n // 4
+    for i in range(4):
+        spark.createDataFrame(pages[i * step:(i + 1) * step],
+                              WEB_PAGES_SCHEMA) \
+            .coalesce(1).write.parquet(f"{src}/b{i}")
+    out = str(tmp_path_factory.mktemp("ac_idx"))
+    ckpt = str(tmp_path_factory.mktemp("ac_ckpt"))
+    stream = (spark.readStream.schema(WEB_PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*/"))
+    q = inc.index_web_pages_stream(
+        spark, stream, out, ckpt, n_buckets=8,
+        refresh_every=1, compact_every=2, compact_target_docs=n)
+    q.awaitTermination(300)
+    inc.refresh(spark, out, n_buckets=8)
+
+    reader = IndexReader(spark, out)
+    assert reader.n_docs == n
+    # 4 appended chunks collapsed by the two compaction cycles
+    assert len(reader.salt_map) < 4
+    ref = str(tmp_path_factory.mktemp("ac_ref"))
+    _build(spark, spark.createDataFrame(pages, WEB_PAGES_SCHEMA),
+           ref, n_chunks=2, n_buckets=8)
+    r_ref = IndexReader(spark, ref)
+    for query in QUERIES[:2]:
+        a = [(r["url"], round(r["score"], 9)) for r in
+             vector_topk(spark, reader, query, "bm25", k=10,
+                         with_urls=True).collect()]
+        b = [(r["url"], round(r["score"], 9)) for r in
+             vector_topk(spark, r_ref, query, "bm25", k=10,
+                         with_urls=True).collect()]
+        assert a == b and a
+
+
 def test_plan_groups_respects_target():
     rows = [{"chunk": i, "min_id": 1 + 20 * i, "n_docs": 20,
              "batch_id": None} for i in range(7)]
