@@ -74,11 +74,22 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
     os.makedirs(LOCAL_DIR, exist_ok=True)
     if executors is not None:
         zip_path = _pkg_zip()
+        # local-cluster's third arg is WORKER capacity; executors
+        # still launch with spark.executor.memory, whose 1g default
+        # turns every executor JVM into a GC burner (measured: the
+        # 4x2 leg's executor JVMs each ate 68-88% CPU on GC while
+        # the python workers idled at ~40%, 222.7 docs/s; with
+        # per-core provisioning below the same leg is CPU-bound in
+        # the kernels).  Provision like a real cluster: per-core
+        # rate + base, matching session._default_driver_memory.
+        exec_mem_mb = (2 + 2 * exec_cores) * 1024
         spark = get_spark(
             app_name=f"riw-scaling-{executors}x{exec_cores}",
-            master=f"local-cluster[{executors},{exec_cores},10240]",
+            master=f"local-cluster[{executors},{exec_cores},"
+                   f"{exec_mem_mb + 1024}]",
             shuffle_partitions=2 * executors * exec_cores,
             extra_conf={"spark.executorEnv.PYTHONPATH": zip_path,
+                        "spark.executor.memory": f"{exec_mem_mb}m",
                         "spark.local.dir": LOCAL_DIR})
         spark.sparkContext.addPyFile(zip_path)
         cores = executors * exec_cores
