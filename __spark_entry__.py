@@ -637,7 +637,6 @@ def _q_pr_curve(spark, sf_dir):
 def _q_engine_bm25(spark, sf_dir):
     """Full engine path (stemmed tokenizer, packed index, WAND) —
     rows-only check (Porter2 is not expressible in SQL)."""
-    import hashlib
     import tempfile
 
     from rechercheinfoweb_spark.operators.index_build import build_index
@@ -645,7 +644,7 @@ def _q_engine_bm25(spark, sf_dir):
     from rechercheinfoweb_spark.sources.web_pages import (
         documents_as_web_pages,
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _content_key(f"{sf_dir}/documents.parquet")
     out = os.path.join(tempfile.gettempdir(), f"riw_ix_{key}")
     pages = documents_as_web_pages(spark, sf_dir)
     build_index(spark, pages, out, n_chunks=2, n_buckets=8, resume=True)
@@ -668,7 +667,6 @@ def _q_engine_bm25_nostem(spark, sf_dir):
     6dp and re-rank by (rounded score, doc_id); the engine side pulls
     every candidate (k > corpus) so rounding can never shift the
     top-20 boundary between the two sides."""
-    import hashlib
     import tempfile
 
     from rechercheinfoweb_spark.operators.index_build import build_index
@@ -676,7 +674,7 @@ def _q_engine_bm25_nostem(spark, sf_dir):
     from rechercheinfoweb_spark.sources.web_pages import (
         documents_as_web_pages,
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _content_key(f"{sf_dir}/documents.parquet")
     out = os.path.join(tempfile.gettempdir(), f"riw_ixns_{key}")
     pages = documents_as_web_pages(spark, sf_dir)
     build_index(spark, pages, out, n_chunks=2, n_buckets=8,

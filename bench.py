@@ -306,6 +306,14 @@ def main() -> None:
     similarity.ann_index_topk(spark, ann_dir, qv, k=20).collect()
     with timed("ann_index_probe"):
         similarity.ann_index_topk(spark, ann_dir, qv, k=20).collect()
+    # IVF: k-means-trained coarse quantizer, list-partitioned parquet,
+    # probe reads n_probe list dirs then exact-reranks in-list
+    ivf_dir = f"{work}/ivf"
+    with timed("ann_ivf_build"):
+        similarity.build_ivf_index(spark, emb, ivf_dir, n_lists=64)
+    similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
+    with timed("ann_ivf_probe"):
+        similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

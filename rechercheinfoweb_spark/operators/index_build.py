@@ -361,48 +361,87 @@ def _doc_stats_kernel(stopwords: frozenset[str],
 
 
 def _pack_postings_kernel(block_size: int):
-    """applyInPandas kernel over a (chunk, term-BUCKET) group → one
+    """applyInArrow kernel over a (chunk, term-BUCKET) group → one
     final postings row per term in the bucket.
 
-    Grouping by (chunk, term) directly costs a pandas round-trip per
+    Grouping by (chunk, term) directly costs a python round-trip per
     term — ~0.5 ms x |vocab| x n_chunks dominates stage 1 and
     explodes on realistic web vocabularies.  Grouping by the term's
     postings bucket gives n_chunks x n_buckets LARGE groups; term
-    boundaries are then numpy slices on the sorted group."""
+    boundaries are then numpy slices on the sorted group.
 
-    def fn(pdf):
-        import pandas as pd
-        chunk = int(pdf["chunk"].iloc[0])
-        bucket = int(pdf["tbucket"].iloc[0])
-        # Sorting millions of OBJECT strings per task was the pack
-        # stage's dominant cost (and a cache thrasher): factorize is
-        # a hash pass (O(n), no string sort), the only string sort
-        # left is over the ~|vocab|-sized uniques, and the row sort
-        # is a pure-integer lexsort.  Codes are relabeled to the
-        # uniques' sorted ranks first, so the row order — and the
-        # packed bytes — are identical to sorting by (term, doc_id)
-        # directly (parallelism-invariance/resume tests pin this).
-        codes, uniques = pd.factorize(pdf["term"], sort=False)
-        uniques = np.asarray(uniques, dtype=object)
-        order_u = np.argsort(uniques, kind="stable")
+    Arrow-native on purpose: the pandas predecessor materialized
+    every group's term column as millions of PyObject strings, and
+    that allocation churn — not compute — made the pack stage the
+    one build stage that did NOT scale with cores (measured: wall
+    constant at 225 s from local[2] to local[8] while tokenize
+    scaled 4.0x; per-task time was ~50 s whether a task held 3.3M or
+    13M rows, i.e. a fixed page-fault/alloc cost, not work).  Here
+    strings stay in Arrow buffers end-to-end: dictionary_encode is
+    one C++ hash pass, the only string sort is over the
+    ~|vocab|-sized dictionary, the row sort is a pure-integer
+    lexsort on zero-copy views, and the output terms are a C++
+    ``take`` on the dictionary.  Codes are relabeled to the
+    dictionary's sorted ranks first, so the row order — and the
+    packed bytes — are identical to sorting by (term, doc_id)
+    directly (parallelism-invariance/resume tests pin this; UTF-8
+    byte order == code-point order, so Arrow's binary sort matches
+    the old Python-str sort)."""
+    import pyarrow as pa
+
+    out_type = pa.schema([
+        pa.field("term", pa.string(), False),
+        pa.field("bucket", pa.int32(), False),
+        pa.field("salt", pa.int32(), False),
+        pa.field("df_part", pa.int64(), False),
+        pa.field("min_doc_id", pa.int64(), False),
+        pa.field("blocks", pa.list_(pa.struct([
+            pa.field("first_doc_id", pa.int64(), False),
+            pa.field("n", pa.int32(), False),
+            pa.field("max_tf", pa.int64(), False),
+            pa.field("min_dl", pa.int64(), False),
+            pa.field("max_ratio", pa.float64(), False),
+            pa.field("data", pa.binary(), False),
+        ])), False),
+    ])
+
+    def fn(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        tbl = tbl.combine_chunks()
+        chunk = tbl.column("chunk")[0].as_py()
+        bucket = tbl.column("tbucket")[0].as_py()
+        term_arr = tbl.column("term").chunk(0)
+        dict_arr = pc.dictionary_encode(term_arr)
+        indices = dict_arr.indices.to_numpy(zero_copy_only=True)
+        dictionary = dict_arr.dictionary
+        order_u = pc.sort_indices(dictionary).to_numpy(
+            zero_copy_only=True).astype(np.int64)
         rank = np.empty(order_u.size, dtype=np.int64)
         rank[order_u] = np.arange(order_u.size)
-        codes = rank[codes]
-        sort_idx = np.lexsort((pdf["doc_id"].to_numpy(), codes))
-        uniq, df_part, min_ids, blocks = codec.pack_group_postings(
-            codes[sort_idx], pdf["doc_id"].to_numpy()[sort_idx],
-            pdf["tf"].to_numpy()[sort_idx],
-            pdf["dl"].to_numpy()[sort_idx],
-            pdf["max_tf"].to_numpy()[sort_idx],
+        codes = rank[indices]
+        doc_id = tbl.column("doc_id").chunk(0).to_numpy(
+            zero_copy_only=True)
+        sort_idx = np.lexsort((doc_id, codes))
+        uniq, df_part, min_ids, blocks = codec.pack_group_postings_arrow(
+            codes[sort_idx], doc_id[sort_idx],
+            tbl.column("tf").chunk(0).to_numpy(
+                zero_copy_only=True)[sort_idx],
+            tbl.column("dl").chunk(0).to_numpy(
+                zero_copy_only=True)[sort_idx],
+            tbl.column("max_tf").chunk(0).to_numpy(
+                zero_copy_only=True)[sort_idx],
             block_size=block_size)
-        return pd.DataFrame({
-            "term": uniques[order_u][uniq.astype(np.int64)],
-            "bucket": np.full(uniq.size, bucket, dtype=np.int32),
-            "salt": np.full(uniq.size, chunk, dtype=np.int32),
-            "df_part": df_part.astype(np.int64),
-            "min_doc_id": min_ids.astype(np.int64),
+        sorted_terms = dictionary.take(pa.array(order_u))
+        out_terms = sorted_terms.take(pa.array(uniq.astype(np.int64)))
+        n_out = len(uniq)
+        return pa.table({
+            "term": out_terms,
+            "bucket": pa.array(np.full(n_out, bucket, dtype=np.int32)),
+            "salt": pa.array(np.full(n_out, chunk, dtype=np.int32)),
+            "df_part": pa.array(df_part.astype(np.int64)),
+            "min_doc_id": pa.array(min_ids.astype(np.int64)),
             "blocks": blocks,
-        })
+        }, schema=out_type)
 
     return fn
 
@@ -764,8 +803,8 @@ def build_index(
                         term_bucket(F.col("term"), n_buckets))
             .repartition(4 * par, "chunk", "tbucket")
             .groupBy("chunk", "tbucket")
-            .applyInPandas(_pack_postings_kernel(block_size),
-                           schema=POSTINGS_SCHEMA)
+            .applyInArrow(_pack_postings_kernel(block_size),
+                          schema=POSTINGS_SCHEMA)
         )
         _writer(postings_g).partitionBy("bucket", "salt") \
             .parquet(paths.postings)

@@ -143,8 +143,8 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
                   schema=TERM_ROWS_SCHEMA)
      .withColumn("tbucket", term_bucket(F.col("term"), n_buckets))
      .groupBy("chunk", "tbucket")
-     .applyInPandas(_pack_postings_kernel(block_size),
-                    schema=POSTINGS_SCHEMA)
+     .applyInArrow(_pack_postings_kernel(block_size),
+                   schema=POSTINGS_SCHEMA)
      .write.partitionBy("bucket", "salt")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.postings))

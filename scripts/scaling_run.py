@@ -83,6 +83,16 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
         # the kernels).  Provision like a real cluster: per-core
         # rate + base, matching session._default_driver_memory.
         exec_mem_mb = (2 + 2 * exec_cores) * 1024
+        # Each executor JVM sizes its internal thread pools (parallel
+        # GC workers, netty event loops, ForkJoinPool) from
+        # Runtime.availableProcessors = the MACHINE's 32 CPUs, not its
+        # C-core share of the taskset pin: 4 pinned-to-8-CPUs
+        # executors spawned ~23 GC threads EACH (load avg 20 on an
+        # 8-CPU pin; measured 133-223 docs/s vs 172 for one executor).
+        # Real clusters fix this with container CPU limits;
+        # -XX:ActiveProcessorCount is the JVM-flag equivalent, applied
+        # to every JVM in the pinned tree (driver included).
+        jvm_cpus = f"-XX:ActiveProcessorCount={exec_cores}"
         spark = get_spark(
             app_name=f"riw-scaling-{executors}x{exec_cores}",
             master=f"local-cluster[{executors},{exec_cores},"
@@ -90,6 +100,12 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
             shuffle_partitions=2 * executors * exec_cores,
             extra_conf={"spark.executorEnv.PYTHONPATH": zip_path,
                         "spark.executor.memory": f"{exec_mem_mb}m",
+                        "spark.executor.extraJavaOptions": jvm_cpus,
+                        "spark.driver.extraJavaOptions": jvm_cpus,
+                        # BLAS/OpenMP in the Python kernels must not
+                        # size thread pools for 32 CPUs either
+                        "spark.executorEnv.OMP_NUM_THREADS": "1",
+                        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
                         "spark.local.dir": LOCAL_DIR})
         spark.sparkContext.addPyFile(zip_path)
         cores = executors * exec_cores
