@@ -21,6 +21,39 @@ import sys
 import time
 
 
+def host_canary() -> dict:
+    """Two ~1 s probes of the HOST, not the engine, recorded in
+    extra so per-round bench numbers are comparable: this sandbox's
+    VM degrades over its lifetime (measured same-code index builds
+    of 109 s and 916 s hours apart; first-touch page faults dropped
+    to ~0.4 GB/s while khugepaged churned).  A round whose canary is
+    several-fold below a previous round's explains its wall times."""
+    import numpy as np
+    t0 = time.time()
+    a = np.zeros(256 * 1024 * 1024 // 8, dtype=np.int64)
+    a[::512] = 1  # touch every 4 KiB page
+    fault_mb_s = round(256 / (time.time() - t0), 0)
+    from rechercheinfoweb_spark.functions.tokenizer import (
+        TOKEN_RE, make_index_token_mapper,
+    )
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20000)]
+    docs = [" ".join(rng.choices(vocab, k=2000)) for _ in range(60)]
+    mapped = make_index_token_mapper()
+    for d in docs[:10]:
+        mapped(TOKEN_RE.findall(d))
+    t0 = time.time()
+    ntok = 0
+    for d in docs:
+        raw = TOKEN_RE.findall(d)
+        mapped(raw)
+        ntok += len(raw)
+    return {"host_first_touch_mb_s": fault_mb_s,
+            "host_tokenize_ktok_s": round(ntok / (time.time() - t0)
+                                          / 1e3, 0)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # default cap at 8 task threads: this host's per-core throughput
@@ -58,6 +91,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, object] = {"cpus": int(cpus)}
+    extra.update(host_canary())
 
     def timed(name):
         class _T:

@@ -276,53 +276,130 @@ def read_registry(path: str) -> list[dict]:
                   key=lambda r: r["chunk"])
 
 
+def _make_unique_token_lut(stopwords: frozenset[str], use_stem: bool):
+    """Worker-lifetime memo raw token → final term (or None if
+    filtered), built on the ONE shared tokenizer implementation
+    (``make_index_token_mapper`` — golden-token tests pin it).  The
+    vectorized kernels below only call this per UNIQUE raw token, so
+    stem/stopword Python cost is O(|vocab|) per worker, not
+    O(tokens)."""
+    mapped = make_index_token_mapper(stopwords, use_stem)
+
+    def one(tok: str):
+        r = mapped([tok])
+        return r[0] if r else None
+
+    return one
+
+
+def _batch_token_stats(texts, map_one, want_terms: bool):
+    """Shared vectorized core of both build kernels.
+
+    Per doc-slice: regex split per doc (C), then ONE factorize over
+    the flat token stream (C hash pass), the Python filter/stem only
+    over the slice's UNIQUE raw tokens, and per-(doc, term) counts
+    via one sort of integer composite keys.  Replaces the per-token
+    dict probe + per-doc Counter loop, which profiled at ~75% of the
+    tokenize kernel (the build's hottest stage, mirroring the
+    reference's flamegraph where stemming dominates —
+    templates/perf.html:38-44).  Same semantics: two raw tokens may
+    stem to one term; their counts merge via the final-term code.
+
+    Returns (n_raw, dl, max_tf  — per doc) and, when ``want_terms``,
+    (doc_idx, term_strings_obj, tf — per output row, doc-major)."""
+    import pandas as pd
+    raws = [TOKEN_RE.findall(t or "") for t in texts]
+    ndocs = len(raws)
+    n_raw = np.fromiter((len(r) for r in raws), np.int64, ndocs)
+    flat: list = []
+    for r in raws:
+        flat.extend(r)
+    dl = np.zeros(ndocs, dtype=np.int64)
+    max_tf = np.zeros(ndocs, dtype=np.int64)
+    if not flat:
+        if want_terms:
+            return n_raw, dl, max_tf, (np.zeros(0, np.int64),
+                                       np.zeros(0, object),
+                                       np.zeros(0, np.int64))
+        return n_raw, dl, max_tf, None
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                  sort=False)
+    final_terms: list[str] = []
+    fmap: dict[str, int] = {}
+    lut = np.empty(len(uniques), dtype=np.int64)
+    for i, tok in enumerate(uniques.tolist()):
+        term = map_one(tok)
+        if term is None:
+            lut[i] = -1
+            continue
+        j = fmap.get(term)
+        if j is None:
+            j = fmap[term] = len(final_terms)
+            final_terms.append(term)
+        lut[i] = j
+    nfinal = len(final_terms)
+    doc_idx_flat = np.repeat(np.arange(ndocs, dtype=np.int64), n_raw)
+    tcode = lut[codes]
+    keep = tcode >= 0
+    if not keep.any() or nfinal == 0:
+        if want_terms:
+            return n_raw, dl, max_tf, (np.zeros(0, np.int64),
+                                       np.zeros(0, object),
+                                       np.zeros(0, np.int64))
+        return n_raw, dl, max_tf, None
+    composite = doc_idx_flat[keep] * nfinal + tcode[keep]
+    uc, tf = np.unique(composite, return_counts=True)
+    doc_of = uc // nfinal          # sorted (doc-major)
+    term_of = uc % nfinal
+    dl[:] = np.bincount(doc_of, weights=tf,
+                        minlength=ndocs).astype(np.int64)
+    seg = np.flatnonzero(np.diff(doc_of, prepend=-1))
+    max_tf[doc_of[seg]] = np.maximum.reduceat(tf, seg)
+    if want_terms:
+        terms_obj = np.asarray(final_terms, dtype=object)[term_of]
+        return n_raw, dl, max_tf, (doc_of, terms_obj,
+                                   tf.astype(np.int64))
+    return n_raw, dl, max_tf, None
+
+
+# inner doc-slice size: bounds the flat-token intermediates
+# (~2k-token web pages → ~4M tokens, tens of MB) while keeping the
+# factorize/sort passes large enough to amortize
+_KERNEL_DOC_SLICE = 2048
+
+
 def _tokenize_counts_kernel(stopwords: frozenset[str],
                             block_rows: int = 65536,
                             use_stem: bool = True):
     """mapInPandas kernel: (doc_id, chunk, text) → per-(doc, term)
     tf rows — the inverted-index transpose feed.
 
-    Tokenize compute is ~0.2 ms/doc; the expensive part of stage 1
-    is moving the ~140 term rows per doc through Arrow and the term
-    shuffle, so this kernel emits the minimal row (48B fixed + term)
-    in large frames (Arrow per-batch overhead amortized)."""
+    Vectorized via :func:`_batch_token_stats`; emits minimal rows
+    (48B fixed + term) in large frames (Arrow per-batch overhead
+    amortized)."""
 
     def fn(batches):
         import pandas as pd
-        from collections import Counter
-        mapped = make_index_token_mapper(stopwords, use_stem)
-
-        def flush(terms, tfs, doc_meta):
-            meta = np.asarray(doc_meta, dtype=np.int64)
-            reps = meta[:, 4]
-            return pd.DataFrame({
-                "doc_id": np.repeat(meta[:, 0], reps),
-                "chunk": np.repeat(meta[:, 1], reps).astype(np.int32),
-                "term": terms,
-                "tf": np.asarray(tfs, dtype=np.int64),
-                "dl": np.repeat(meta[:, 2], reps),
-                "max_tf": np.repeat(meta[:, 3], reps),
-            })
-
+        map_one = _make_unique_token_lut(stopwords, use_stem)
         for pdf in batches:
-            terms: list = []
-            tfs: list = []
-            doc_meta: list = []  # (doc_id, chunk, dl, max_tf, n_terms)
-            for doc_id, chunk, text in zip(
-                    pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
-                    pdf["text"].tolist()):
-                counts = Counter(mapped(TOKEN_RE.findall(text or "")))
-                vals = counts.values()
-                terms.extend(counts.keys())
-                tfs.extend(vals)
-                doc_meta.append((doc_id, chunk, sum(vals),
-                                 max(vals) if counts else 0,
-                                 len(counts)))
-                if len(terms) >= block_rows:
-                    yield flush(terms, tfs, doc_meta)
-                    terms, tfs, doc_meta = [], [], []
-            if terms:
-                yield flush(terms, tfs, doc_meta)
+            doc_ids = pdf["doc_id"].to_numpy()
+            chunks = pdf["chunk"].to_numpy()
+            texts = pdf["text"].tolist()
+            for lo in range(0, len(texts), _KERNEL_DOC_SLICE):
+                hi = min(lo + _KERNEL_DOC_SLICE, len(texts))
+                _, dl, max_tf, rows = _batch_token_stats(
+                    texts[lo:hi], map_one, want_terms=True)
+                doc_of, terms_obj, tf = rows
+                if doc_of.size == 0:
+                    continue
+                yield pd.DataFrame({
+                    "doc_id": doc_ids[lo:hi][doc_of],
+                    "chunk": chunks[lo:hi][doc_of].astype(np.int32),
+                    "term": terms_obj,
+                    "tf": tf,
+                    "dl": dl[doc_of],
+                    "max_tf": max_tf[doc_of],
+                })
 
     return fn
 
@@ -336,26 +413,28 @@ def _doc_stats_kernel(stopwords: frozenset[str],
 
     def fn(batches):
         import pandas as pd
-        from collections import Counter
-        mapped = make_index_token_mapper(stopwords, use_stem)
+        map_one = _make_unique_token_lut(stopwords, use_stem)
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "chunk", "url", "lang",
-                                   "dl", "max_tf", "n_raw")}
-            for doc_id, chunk, url, lang, text in zip(
-                    pdf["doc_id"].tolist(), pdf["chunk"].tolist(),
-                    pdf["url"].tolist(), pdf["lang"].tolist(),
-                    pdf["text"].tolist()):
-                raw = TOKEN_RE.findall(text or "")
-                counts = Counter(mapped(raw))
-                out["doc_id"].append(doc_id)
-                out["chunk"].append(chunk)
-                out["url"].append(url)
-                out["lang"].append(lang)
-                out["dl"].append(sum(counts.values()))
-                out["max_tf"].append(
-                    max(counts.values()) if counts else 0)
-                out["n_raw"].append(len(raw))
-            yield pd.DataFrame(out)
+            texts = pdf["text"].tolist()
+            n_raw = np.zeros(len(texts), dtype=np.int64)
+            dl = np.zeros(len(texts), dtype=np.int64)
+            max_tf = np.zeros(len(texts), dtype=np.int64)
+            for lo in range(0, len(texts), _KERNEL_DOC_SLICE):
+                hi = min(lo + _KERNEL_DOC_SLICE, len(texts))
+                nr, d, m, _ = _batch_token_stats(
+                    texts[lo:hi], map_one, want_terms=False)
+                n_raw[lo:hi] = nr
+                dl[lo:hi] = d
+                max_tf[lo:hi] = m
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "chunk": pdf["chunk"].to_numpy(),
+                "url": pdf["url"],
+                "lang": pdf["lang"],
+                "dl": dl,
+                "max_tf": max_tf,
+                "n_raw": n_raw,
+            })
 
     return fn
 

@@ -268,6 +268,7 @@ def main() -> int:
                 f"x {args.executor_cores} cores)")
     else:
         unit = f"eff(N={lo['cores']} vs {hi['cores']} cores)"
+    from bench import host_canary
     summary = {
         "metric": "index_build_scaling_efficiency",
         "value": round(eff, 3),
@@ -275,6 +276,12 @@ def main() -> int:
         "runs": results,
         "n_docs": args.n_docs,
         "doc_tokens": args.doc_tokens,
+        # host health at measurement time (see bench.host_canary):
+        # this VM's memory subsystem degrades over its lifetime, and
+        # a low canary marks a run whose absolute numbers — and even
+        # the N-vs-4N ratio, via fault-rate variance between legs —
+        # are not comparable across rounds
+        "host": host_canary(),
     }
     print(json.dumps(summary))
 
