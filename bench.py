@@ -30,9 +30,9 @@ def host_canary() -> dict:
     several-fold below a previous round's explains its wall times."""
     import numpy as np
     t0 = time.time()
-    a = np.zeros(256 * 1024 * 1024 // 8, dtype=np.int64)
+    a = np.zeros(128 * 1024 * 1024 // 8, dtype=np.int64)
     a[::512] = 1  # touch every 4 KiB page
-    fault_mb_s = round(256 / (time.time() - t0), 0)
+    fault_mb_s = round(128 / (time.time() - t0), 0)
     from rechercheinfoweb_spark.functions.tokenizer import (
         TOKEN_RE, make_index_token_mapper,
     )

@@ -67,7 +67,7 @@ from pyspark.sql.types import (
 
 from ..functions import codec, scoring
 from ..functions.tokenizer import (
-    STOPWORDS, TOKEN_RE, make_index_token_mapper,
+    STOPWORDS, make_index_token_mapper, raw_tokens,
 )
 from ..plans.checkpoints import (
     read_manifest, stage_complete, write_manifest,
@@ -308,7 +308,7 @@ def _batch_token_stats(texts, map_one, want_terms: bool):
     Returns (n_raw, dl, max_tf  — per doc) and, when ``want_terms``,
     (doc_idx, term_strings_obj, tf — per output row, doc-major)."""
     import pandas as pd
-    raws = [TOKEN_RE.findall(t or "") for t in texts]
+    raws = [raw_tokens(t or "") for t in texts]
     ndocs = len(raws)
     n_raw = np.fromiter((len(r) for r in raws), np.int64, ndocs)
     flat: list = []

@@ -81,3 +81,37 @@ def test_extraction_invariant(pages_df):
         extraction_mismatches,
     )
     assert extraction_mismatches(pages_df).count() == 0
+
+
+def test_raw_tokens_fast_path_equals_regex():
+    """raw_tokens' ASCII translate+split fast path must be
+    token-identical to TOKEN_RE.findall (the T1 spec); non-ASCII
+    falls back to the regex itself."""
+    from hypothesis import given, settings, strategies as st
+
+    from rechercheinfoweb_spark.functions.tokenizer import (
+        TOKEN_RE, raw_tokens,
+    )
+
+    fixtures = [
+        "", "   ", "\t\n", "a/b-test 'don't' x_y foo.bar,baz",
+        "a//b--c''d", "don't--stop", "~!@#$%^&*()_+=[]{};:\"<>?,.",
+        "état naïve …dots… 中文 mixed ascii",
+        "trailing-", "-leading", "'", "/", "0x1f 3.14 1,000",
+    ]
+    for t in fixtures:
+        assert raw_tokens(t) == TOKEN_RE.findall(t), t
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(max_codepoint=127),
+                   max_size=200))
+    def ascii_prop(t):
+        assert raw_tokens(t) == TOKEN_RE.findall(t)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=120))
+    def unicode_prop(t):
+        assert raw_tokens(t) == TOKEN_RE.findall(t)
+
+    ascii_prop()
+    unicode_prop()
