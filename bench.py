@@ -177,6 +177,13 @@ def main() -> None:
         for q in bench_queries:
             vector_topk(spark, reader, q, "bm25", k=20,
                         use_pruning=False).collect()
+    # the ENGINE DEFAULT: use_pruning="auto" picks per query — these
+    # common-term queries can't clear blocks (skip rate above), so
+    # auto should track the nopruning time; selective-query pruning
+    # wins are evidenced by the wand_sel_* entries below
+    with timed("bm25_topk_auto"):
+        for q in bench_queries:
+            vector_topk(spark, reader, q, "bm25", k=20).collect()
     with timed("tfidf_topk"):
         vector_topk(spark, reader, "search engine ranking", "norm",
                     k=20).collect()
