@@ -34,7 +34,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from rechercheinfoweb_spark.operators import dedup, similarity, textstats
+from rechercheinfoweb_spark.operators import (
+    dedup, pipeline, similarity, textstats,
+)
 from rechercheinfoweb_spark.operators.textstats import (
     LANG_MARKERS, SQL_TOKEN_SPLIT,
 )
@@ -262,6 +264,32 @@ def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_pair_docs(spark, sf_dir), radius=6)
 
 
+def _q_clusters(spark, sf_dir):
+    """Connected components over the simhash near-dup pairs: the
+    canonicalization step that turns pairwise dedup output into a
+    per-doc survivor decision (dedup.dedup_clusters — min-label
+    propagation with pointer jumping, O(log diameter) rounds)."""
+    pairs = dedup.simhash_near_pairs(_pair_docs(spark, sf_dir),
+                                     radius=6)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+PP_MIN_QUALITY = 0.42  # keeps ~65% of the sf0.01 slice (median 0.449)
+
+
+def _q_pipeline_clean(spark, sf_dir):
+    """End-to-end training-data cleaning (operators/pipeline.py):
+    lang=en -> quality >= 0.42 -> exact dedup -> simhash-component
+    near-dup dedup, emitting the surviving (doc_id, lang_pred,
+    quality).  Every stage threshold genuinely trips on the sf0.01
+    slice (70/300 docs fail the language gate, ~35% fail quality,
+    and the radius-6 components collapse further)."""
+    return pipeline.clean_corpus(
+        _pair_docs(spark, sf_dir), lang="en",
+        min_quality=PP_MIN_QUALITY,
+        simhash_radius=6).orderBy("doc_id")
+
+
 def _sql_simhash(doc_filter: str = "") -> str:
     """DuckDB twin of dedup._simhash_kernel: md5-first-8-bytes token
     hashes, per-bit majority vote, signed-64 assembly (bit 63 via
@@ -283,6 +311,26 @@ def _sql_simhash(doc_filter: str = "") -> str:
         votes_t AS (SELECT doc_id, {votes} FROM hv_t GROUP BY doc_id),
         sim_t AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
                   FROM votes_t)"""
+
+
+# Connected components in ANSI SQL (DuckDB twin of
+# dedup.dedup_clusters): propagate each root id along edges, but only
+# to larger-id destinations — the component minimum m reaches every
+# member (every other member's id exceeds m, so no hop is blocked)
+# while larger roots are pruned early; min(root) per node is then the
+# component min.  Requires a ``pairs(doc_a, doc_b)`` CTE and WITH
+# RECURSIVE at the head of the chain.
+_SQL_CCOMP = """
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        reach AS (
+          SELECT DISTINCT src AS doc_id, src AS root FROM edges
+          UNION
+          SELECT e.dst AS doc_id, r.root
+          FROM reach r JOIN edges e ON e.src = r.doc_id
+          WHERE r.root < e.dst),
+        canon AS (SELECT doc_id, min(root) AS canonical
+                  FROM reach GROUP BY doc_id)"""
 
 
 EMB_DIM = 64  # embeddings.parquet shape at every test SF (TESTDATA.md)
@@ -709,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
+        "dd_clusters": _q_clusters,
+        "pp_clean": _q_pipeline_clean,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_index_topk": _q_ann_index,
@@ -955,6 +1005,64 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+        "dd_clusters": f"""
+            WITH RECURSIVE {_sql_simhash(
+                f"WHERE doc_id < {PAIR_DOC_LIMIT}")},
+            pd AS (SELECT doc_id FROM documents
+                   WHERE doc_id < {PAIR_DOC_LIMIT}),
+            s AS (SELECT d.doc_id, coalesce(t.simhash, 0) AS simhash
+                  FROM pd d LEFT JOIN sim_t t USING (doc_id)),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM s a JOIN s b ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+            {_SQL_CCOMP}
+            SELECT doc_id, canonical FROM canon ORDER BY doc_id""",
+        "pp_clean": f"""
+            WITH RECURSIVE
+            hq AS (SELECT doc_id, {langs_hits}
+                   FROM ({_SQL_TOKS_NE})
+                   WHERE doc_id < {PAIR_DOC_LIMIT}
+                   GROUP BY doc_id),
+            langq AS (
+              SELECT d.doc_id, {pred} AS lang_pred,
+                     round(0.4 * round(n_alpha * 1.0
+                               / greatest(n_chars, 1), 6)
+                         + 0.4 * round(n_stop * 1.0
+                               / greatest(n_tokens, 1), 6)
+                         + 0.2 * least(n_tokens / 100.0, 1.0), 6)
+                         AS quality
+              FROM (SELECT doc_id,
+                           {alnum} AS n_tokens,
+                           length(text) AS n_chars,
+                           length(regexp_replace(text, '[^a-zA-Z]',
+                                                 '', 'g')) AS n_alpha,
+                           len(list_filter(string_split_regex(text,
+                               '{SQL_TOKEN_SPLIT}'),
+                               t -> lower(t) IN ({en}))) AS n_stop
+                    FROM documents
+                    WHERE doc_id < {PAIR_DOC_LIMIT}) d
+              JOIN hq USING (doc_id)),
+            keep1 AS (SELECT doc_id FROM langq
+                      WHERE lang_pred = 'en'
+                        AND quality >= {PP_MIN_QUALITY}),
+            keep2 AS (SELECT doc_id FROM (
+                SELECT d.doc_id,
+                       row_number() OVER (PARTITION BY md5(d.text)
+                                          ORDER BY d.doc_id) AS rn
+                FROM documents d JOIN keep1 USING (doc_id)) t
+                WHERE rn = 1),
+            {_sql_simhash(
+                "WHERE doc_id IN (SELECT doc_id FROM keep2)")},
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM sim_t a JOIN sim_t b
+                        ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+            {_SQL_CCOMP}
+            SELECT k.doc_id, l.lang_pred, l.quality
+            FROM keep2 k JOIN langq l USING (doc_id)
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM canon
+                                   WHERE doc_id <> canonical)
+            ORDER BY doc_id""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                        WHERE vec_id = 0),

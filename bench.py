@@ -334,6 +334,12 @@ def main() -> None:
     with timed("jaccard_pairs_capped"):
         extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15, max_shingle_df=3).count()
+    # end-to-end cleaning pipeline over the FULL docs table: fused
+    # lang/quality scan -> exact dedup -> simhash components
+    with timed("pipeline_clean"):
+        from rechercheinfoweb_spark.operators import pipeline
+        extra["pipeline_survivors"] = pipeline.clean_corpus(
+            docs, lang="en", min_quality=0.42).count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]

@@ -179,6 +179,82 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                     "jaccard"))
 
 
+def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, canonical).
+
+    The missing last step of every pair-producing dedup family above:
+    near-duplication is transitive in practice (A≈B, B≈C ⇒ keep one
+    of {A,B,C}), so pairs must be grouped into components and each
+    component reduced to one canonical survivor (min doc_id — the
+    deterministic choice every other operator here uses).
+
+    Algorithm: min-label propagation with pointer jumping.  Every
+    node starts labeled with itself; each round takes the min over
+    its neighbors' labels AND its label's label (label(label(u)) —
+    path doubling), so convergence is O(log diameter) rounds, not
+    O(diameter).  Near-dup components are dense (quasi-cliques), so
+    2-3 rounds settle real corpora; the loop is bounded by
+    ``max_rounds`` as a safety rail.
+
+    Scale shape per round: one shuffle for the neighbor-min groupBy
+    + one self-join on the (small) label table; lineage is truncated
+    with localCheckpoint every round so the plan does not grow
+    exponentially across iterations.  The convergence check is a
+    single count() on changed labels.  At 10^12 docs the label table
+    is |nodes in any pair| rows — orders of magnitude below corpus
+    size, since only near-dup members appear in pairs.
+
+    Returns one row per doc that appears in ``pairs`` (doc_id,
+    canonical); docs in no pair are their own canonical and are
+    omitted — join back with a left join + coalesce."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.distinct().persist()
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+              .select(F.col("src").alias("doc_id"),
+                      F.least("src", "nbr_min").alias("label"))
+              .localCheckpoint())
+    for _ in range(max_rounds):
+        # neighbor min: min label over adjacent nodes
+        nbr = (edges.join(labels.withColumnRenamed("doc_id", "dst"),
+                          "dst")
+               .groupBy("src").agg(F.min("label").alias("nbr_label"))
+               .withColumnRenamed("src", "doc_id"))
+        # pointer jump: label(label(u))
+        jump = (labels.alias("u")
+                .join(labels.select(F.col("doc_id").alias("label"),
+                                    F.col("label").alias("jump_label"))
+                      .alias("v"), "label", "left")
+                .select("u.doc_id", "u.label", "v.jump_label"))
+        new = (jump.join(nbr, "doc_id", "left")
+               .select("doc_id",
+                       F.least("label",
+                               F.coalesce("jump_label", F.col("label")),
+                               F.coalesce("nbr_label", F.col("label")))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("canonical"))
+
+
+def dedup_keep(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Training-data survivor filter: drop every non-canonical member
+    of each near-dup component (keep = min doc_id per component, and
+    every doc in no pair)."""
+    drop = (dedup_clusters(pairs)
+            .where(F.col("doc_id") != F.col("canonical"))
+            .select("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def _simhash_kernel():
     """mapInPandas: (doc_id, text) → 64-bit simhash from md5-derived
     per-token hashes, numpy-vectorized bit voting.

@@ -1,0 +1,108 @@
+"""End-to-end training-data cleaning pipeline over a documents table.
+
+Composes the per-operator building blocks (textstats, dedup) into the
+canonical Common-Crawl-style corpus-cleaning sequence:
+
+  1. language filter       (marker-vote language ID)
+  2. quality threshold     (alpha/stopword/length composite)
+  3. exact dedup           (md5 groups, keep min doc_id)
+  4. near-dup dedup        (simhash pairs -> connected components ->
+                            keep the canonical member per component)
+
+Scale shape (the point of fusing this into one operator instead of a
+notebook of joins): stages 1-2 are a SINGLE map-side projection — the
+language vote and every quality feature are array-expression
+built-ins over the same tokens array, so one corpus scan, zero
+shuffles, whole-stage codegen (textstats.lang_id is the standalone
+equivalent but pays an explode + aggregate shuffle; the fused column
+version is pinned equal to it in tests/test_pipeline.py).  Stage 3 is
+one shuffle on md5(text).  Stage 4 is the chunk-blocked simhash
+self-join (dedup.simhash_near_pairs — bounded by pigeonhole blocking,
+never quadratic) plus O(log diameter) label-propagation rounds over
+only the docs that appear in a pair.  The survivor anti-joins carry
+(doc_id) keys, not text, so nothing rewide ever shuffles the corpus
+again.
+
+No reference analog (rechercheInfoWeb indexes everything it scans) —
+this is the LLM-pipeline surface the brief adds on top of SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .dedup import dedup_keep, simhash_near_pairs
+from .textstats import LANG_MARKERS, tokens_col
+
+
+def _lang_pred_col(toks: Column) -> Column:
+    """Map-side language vote: identical semantics to
+    textstats.lang_id (winner by marker-hit count, ties broken by
+    LANG_MARKERS declaration order, 'und' when no marker hits) but as
+    a pure array expression — no explode, no shuffle."""
+    def marker_hits(words):
+        # closure factory, NOT a default arg: a two-parameter lambda
+        # would select F.filter's (element, index) form
+        return F.size(F.filter(toks,
+                               lambda t: F.lower(t).isin(*words)))
+
+    hits = {la: marker_hits(words)
+            for la, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    return F.coalesce(
+        *[F.when((hits[la] == best) & (best > 0), F.lit(la))
+          for la in LANG_MARKERS],
+        F.lit("und"))
+
+
+def _quality_col(toks: Column) -> Column:
+    """Map-side composite quality score — textstats.quality_score's
+    ``quality`` column verbatim (same rounding, so thresholds applied
+    here and there agree)."""
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(*LANG_MARKERS["en"])))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    return F.round(
+        0.4 * alpha_ratio + 0.4 * stop_ratio
+        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, lang_pred, quality) in ONE map-side projection
+    — the fused stage-1/2 scan of :func:`clean_corpus`."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id", "text",
+        _lang_pred_col(toks).alias("lang_pred"),
+        _quality_col(toks).alias("quality"))
+
+
+def clean_corpus(docs: DataFrame, lang: str = "en",
+                 min_quality: float = 0.0,
+                 simhash_radius: int = 3) -> DataFrame:
+    """Survivors of the four-stage cleaning pipeline:
+    (doc_id, lang_pred, quality), one row per kept doc.
+
+    ``lang``/``min_quality`` gate stages 1-2; ``simhash_radius`` is
+    the near-dup hamming radius for stage 4 (components keep their
+    min-doc_id member).  Stage 3 always runs (exact dups never
+    survive)."""
+    kept = (doc_stats(docs)
+            .where((F.col("lang_pred") == lang)
+                   & (F.col("quality") >= min_quality)))
+    # stage 3: exact dedup — keep the min doc_id per md5(text) group
+    # (rank window: one shuffle, no unbounded collect)
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    kept = kept.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    # stage 4: near-dup components over the SURVIVORS of 1-3 (the
+    # stagewise order every production pipeline uses — no point
+    # simhashing docs already dropped)
+    pairs = simhash_near_pairs(kept, radius=simhash_radius)
+    return (dedup_keep(kept, pairs)
+            .select("doc_id", "lang_pred", "quality"))

@@ -1,0 +1,119 @@
+"""Dedup clustering + cleaning-pipeline tests.
+
+dedup_clusters must compute exact connected components (including
+multi-round convergence on path graphs — the worst case for label
+propagation, where pointer jumping earns its keep), and the fused
+map-side doc_stats must be column-identical to the standalone
+textstats operators it replaces in the pipeline's stage-1/2 scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rechercheinfoweb_spark.operators import dedup, pipeline, textstats
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select("doc_id", "text").limit(120).persist())
+    yield df
+    df.unpersist()
+
+
+def _components_brute(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> component min."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("pairs", [
+    # two triangles + an isolated edge
+    [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)],
+    # a 12-node PATH (diameter 11 — needs >1 propagation round;
+    # pointer jumping converges in O(log d))
+    [(i, i + 1) for i in range(100, 112)],
+    # star with high-id center (canonical must be a leaf)
+    [(50, j) for j in range(40, 50)],
+    # single pair
+    [(7, 3)],
+])
+def test_dedup_clusters_exact_components(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical"]
+           for r in dedup.dedup_clusters(df).collect()}
+    assert got == _components_brute(pairs)
+
+
+def test_dedup_keep_drops_non_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_keep(docs, pairs).collect())
+    # component {0,1,2} keeps 0; {4,5} keeps 4; 3 untouched
+    assert kept == [0, 3, 4]
+
+
+def test_doc_stats_matches_standalone_operators(spark, small_docs):
+    """The fused map-side projection == textstats.lang_id +
+    textstats.quality_score (same votes, same tie-break, same
+    rounding) — pins that pipeline thresholds and standalone-operator
+    thresholds agree."""
+    fused = {r["doc_id"]: (r["lang_pred"], r["quality"])
+             for r in pipeline.doc_stats(small_docs).collect()}
+    lang = {r["doc_id"]: r["lang_pred"]
+            for r in textstats.lang_id(small_docs).collect()}
+    qual = {r["doc_id"]: r["quality"]
+            for r in textstats.quality_score(small_docs).collect()}
+    # lang_id omits zero-token docs (explode drops them) — the fused
+    # column labels those 'und'
+    assert set(lang) <= set(fused)
+    for d, (lp, qv) in fused.items():
+        assert lang.get(d, "und") == lp
+        assert qual[d] == qv
+
+
+def test_clean_corpus_stages_compose(spark, small_docs):
+    """Survivors = (lang & quality pass) minus exact dups minus
+    non-canonical near-dup members, computed independently here from
+    the standalone operators."""
+    from pyspark.sql import functions as F
+
+    res = pipeline.clean_corpus(small_docs, lang="en",
+                                min_quality=0.42, simhash_radius=6)
+    got = sorted(r["doc_id"] for r in res.collect())
+
+    stats = pipeline.doc_stats(small_docs)
+    kept12 = stats.where((F.col("lang_pred") == "en")
+                         & (F.col("quality") >= 0.42))
+    # exact: min doc_id per md5 group
+    ids12 = {r["doc_id"] for r in kept12.select("doc_id").collect()}
+    by_md5: dict[str, int] = {}
+    for r in small_docs.select(
+            "doc_id", F.md5("text").alias("h")).collect():
+        if r["doc_id"] in ids12:
+            h = r["h"]
+            by_md5[h] = min(by_md5.get(h, r["doc_id"]), r["doc_id"])
+    ids3 = set(by_md5.values())
+    kept3 = small_docs.where(F.col("doc_id").isin(*ids3))
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             dedup.simhash_near_pairs(kept3, radius=6).collect()]
+    canon = _components_brute(pairs)
+    want = sorted(d for d in ids3 if canon.get(d, d) == d)
+    assert got == want
