@@ -256,6 +256,15 @@ def _q_jaccard_pairs_capped(spark, sf_dir):
                                      max_shingle_df=JACCARD_DF_CAP)
 
 
+def _q_lsh_jaccard_verified(spark, sf_dir):
+    """Production composition: capped-LSH candidate pairs verified
+    with EXACT n-gram Jaccard (map-side array_intersect over the
+    candidates only — never the all-pairs shingle join)."""
+    return dedup.lsh_jaccard_verified_pairs(
+        _pair_docs(spark, sf_dir), threshold=0.15,
+        max_bucket=LSH_MAX_BUCKET)
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -755,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
+        "dd_lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
         "dd_clusters": _q_clusters,
@@ -984,6 +994,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id""",
         "dd_lsh_pairs": lsh_pairs_sql(None),
         "dd_lsh_pairs_capped": lsh_pairs_sql(LSH_MAX_BUCKET),
+        "dd_lsh_jaccard_verified": f"""
+            WITH cands AS ({lsh_pairs_sql(LSH_MAX_BUCKET)}),
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS toks
+              FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         AS shingle
+              FROM arrs, unnest(generate_series(1, len(toks) - 2))
+                   AS g(i)
+              WHERE len(toks) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b
+                       AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh AS size_a, sb.n_sh AS size_b,
+                   round(inter * 1.0
+                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= 0.15""",
         "dd_jaccard_pairs": jaccard_pairs_sql(None),
         "dd_jaccard_pairs_capped": jaccard_pairs_sql(JACCARD_DF_CAP),
         "ann_lsh_topk": _sql_ann_probe(),

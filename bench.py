@@ -334,6 +334,11 @@ def main() -> None:
     with timed("jaccard_pairs_capped"):
         extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15, max_shingle_df=3).count()
+    # the production path: capped-LSH candidates -> exact Jaccard
+    # verify on candidates only (vs jaccard_pairs' all-pairs join)
+    with timed("lsh_jaccard_verified"):
+        extra["lsh_jaccard_verified"] = dedup.lsh_jaccard_verified_pairs(
+            pair_docs, threshold=0.15, max_bucket=100).count()
     # end-to-end cleaning pipeline over the FULL docs table: fused
     # lang/quality scan -> exact dedup -> simhash components
     with timed("pipeline_clean"):

@@ -70,6 +70,25 @@ def test_dedup_keep_drops_non_canonical(spark):
     assert kept == [0, 3, 4]
 
 
+def test_lsh_verified_equals_exact_on_candidates(spark, small_docs):
+    """lsh_jaccard_verified_pairs == ngram_jaccard_pairs restricted
+    to the LSH candidate set (same exact Jaccard values — the verify
+    step recomputes truth, LSH only prunes the pair space)."""
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.minhash_lsh_pairs(small_docs, max_bucket=100)
+            .collect()}
+    exact = {(r["doc_a"], r["doc_b"]):
+             (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+             for r in dedup.ngram_jaccard_pairs(
+                 small_docs, threshold=0.1).collect()}
+    got = {(r["doc_a"], r["doc_b"]):
+           (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+           for r in dedup.lsh_jaccard_verified_pairs(
+               small_docs, threshold=0.1, max_bucket=100).collect()}
+    want = {p: v for p, v in exact.items() if p in cand}
+    assert got == want
+
+
 def test_doc_stats_matches_standalone_operators(spark, small_docs):
     """The fused map-side projection == textstats.lang_id +
     textstats.quality_score (same votes, same tie-break, same
