@@ -196,15 +196,20 @@ def lsh_jaccard_verified_pairs(docs: DataFrame, n: int = 3,
     the module docstring promises ("use [Jaccard] after LSH as the
     verify step"); at 100 TB you run exactly this, never the
     standalone exact join."""
-    cand = minhash_lsh_pairs(docs, k, bands, max_bucket)
+    # the candidate relation feeds two plan branches (member list +
+    # final join) — persist or the whole LSH band join runs twice
+    # (measured: 2x wall on the bench entry)
+    cand = minhash_lsh_pairs(docs, k, bands, max_bucket).persist()
     # shingle arrays only for docs that appear in some candidate pair
     members = (cand.select(F.col("doc_a").alias("doc_id"))
                .union(cand.select(F.col("doc_b").alias("doc_id")))
                .distinct())
+    # sets feeds both sides of the pair join — persist, same reason
     sets = (ngram_shingles(docs.join(members, "doc_id", "left_semi"), n)
             .groupBy("doc_id")
             .agg(F.collect_list("shingle").alias("sh"),
-                 F.count("*").alias("n_sh")))
+                 F.count("*").alias("n_sh"))
+            .persist())
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("sh").alias("sh_a"),
                     F.col("n_sh").alias("size_a"))

@@ -99,7 +99,11 @@ def clean_corpus(docs: DataFrame, lang: str = "en",
     # (rank window: one shuffle, no unbounded collect)
     rn = F.row_number().over(
         Window.partitionBy(F.md5("text")).orderBy("doc_id"))
-    kept = kept.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    # stage-3 output feeds two plan branches (the simhash pair scan
+    # and the final survivor anti-join) — persist it, or the corpus
+    # scan + dedup window re-run per branch
+    kept = (kept.withColumn("_rn", rn).where(F.col("_rn") == 1)
+            .drop("_rn").persist())
     # stage 4: near-dup components over the SURVIVORS of 1-3 (the
     # stagewise order every production pipeline uses — no point
     # simhashing docs already dropped)

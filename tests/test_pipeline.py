@@ -59,6 +59,23 @@ def test_dedup_clusters_exact_components(spark, pairs):
     assert got == _components_brute(pairs)
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_dedup_clusters_random_graphs(spark, seed):
+    """Seeded random graphs (mixed cycles, bridges, isolated edges)
+    vs union-find ground truth."""
+    import random
+    rng = random.Random(seed)
+    nodes = rng.sample(range(1000), 30)
+    pairs = []
+    for _ in range(45):
+        a, b = rng.sample(nodes, 2)
+        pairs.append((min(a, b), max(a, b)))
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical"]
+           for r in dedup.dedup_clusters(df).collect()}
+    assert got == _components_brute(pairs)
+
+
 def test_dedup_keep_drops_non_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(6)], "doc_id long, text string")

@@ -59,6 +59,45 @@ def test_boolean_urls_join_never_hints_result_broadcast(spark, reader):
     assert "strategy=broadcast" in vlogical
 
 
+def test_pipeline_scan_prunes_to_two_columns(spark, tmp_path_factory):
+    """clean_corpus's fused stage-1/2 projection must column-prune
+    the parquet scan to (doc_id, text) — a documents table at 100 TB
+    carries many more columns (html, lang, warc_ts...) that the
+    cleaning scan must never read."""
+    from rechercheinfoweb_spark.operators import pipeline
+
+    src = str(tmp_path_factory.mktemp("plan_docs"))
+    (spark.range(50)
+     .select(F.col("id").alias("doc_id"),
+             F.concat(F.lit("the data of doc "),
+                      F.col("id").cast("string")).alias("text"),
+             F.lit("x" * 100).alias("html"),
+             F.lit("extra").alias("meta"))
+     .write.mode("overwrite").parquet(src))
+    docs = spark.read.parquet(src)
+    plan = _plan(pipeline.doc_stats(docs))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "html" not in scan[0] and "meta" not in scan[0]
+    # whole pipeline: still no fat columns anywhere in the plan
+    full = _plan(pipeline.clean_corpus(docs, min_quality=0.0))
+    assert "html" not in full and "meta" not in full
+
+
+def test_lsh_verified_join_has_no_cartesian(spark, tmp_path_factory):
+    """The verify step must stay an equi-join chain (candidates ⋈
+    shingle-arrays) — no NestedLoop/Cartesian anywhere, or the
+    composition quietly degenerates to all-pairs at scale."""
+    from rechercheinfoweb_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text").limit(60)
+    plan = _plan(dedup.lsh_jaccard_verified_pairs(docs,
+                                                  max_bucket=100))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_url_join_broadcasts_small_side(spark, reader):
     df = vector_topk(spark, reader, "search engine", "bm25", k=10,
                      with_urls=True)
