@@ -885,6 +885,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
                    {alnum} AS alnum_tokens,
+                   len(regexp_extract_all(text,
+                       '{textstats.BPE_SPLIT_RE}')) AS bpe_tokens,
                    length(text) AS n_chars
             FROM documents""",
         "ft_df_idf": f"""

@@ -162,6 +162,13 @@ def main() -> None:
                 "blocks_scored": sc.accumulator(0)}
     bench_queries = ("search engine ranking", "Spark shuffle partition",
                      "varint delta BM25 WAND")
+    # untimed warm pass over the SAME terms: the wand/nopruning/auto
+    # trio must compare ALGORITHMS on a warm decoded-postings cache,
+    # not charge the first entry the one-time varint decode (serving
+    # processes are long-lived; the cold decode is a session cost)
+    for q in bench_queries:
+        vector_topk(spark, reader, q, "bm25", k=20,
+                    use_pruning=False).collect()
     with timed("bm25_wand_topk"):
         for q in bench_queries:
             vector_topk(spark, reader, q, "bm25", k=20,

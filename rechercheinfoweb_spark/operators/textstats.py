@@ -35,12 +35,23 @@ def tokens_col(col: str = "text") -> Column:
                     lambda t: t != "")
 
 
+# BPE-ish pre-tokenizer (GPT-2-style segmentation, ASCII classes
+# only so Spark's Java regex and DuckDB's RE2 agree): an optional
+# leading space glued to a letter-run / digit-run / punct-run, or a
+# whitespace run.  Counting these segments approximates BPE token
+# counts the way training-data pipelines budget documents.
+BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Per-doc token counts: whitespace words + alnum tokens + chars."""
+    """Per-doc token counts: whitespace words + alnum tokens +
+    BPE-ish pre-tokenizer segments + chars."""
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
         F.size(tokens_col()).alias("alnum_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE),
+                                    F.lit(0))).alias("bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
 
