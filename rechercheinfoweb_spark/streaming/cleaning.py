@@ -1,0 +1,62 @@
+"""Streaming ingest gate: the cleaning pipeline's streamable stages
+as a Structured Streaming transformation over web_pages.
+
+A crawl is a stream, so stages 1-3 of ``operators/pipeline.py``
+run at ingest time:
+
+* stages 1-2 (language gate + quality threshold) are STATELESS — the
+  same fused map-side projection the batch pipeline uses, so a page
+  is admitted or dropped the moment it arrives;
+* stage 3 (exact dedup) uses ``dropDuplicatesWithinWatermark`` on
+  md5(text): state holds only fingerprints younger than the
+  watermark horizon, so it is bounded by ingest rate × horizon —
+  never by corpus size.  A byte-identical page re-crawled AFTER the
+  horizon passes the gate again by design; the periodic batch
+  ``clean_corpus`` run over the accepted corpus catches those.
+
+Stage 4 (near-dup components) is deliberately NOT here: pair
+generation and connected components are global, so production runs
+them as the periodic batch compaction (``pipeline.clean_corpus`` /
+``dedup.dedup_clusters``) — same split as the index's streaming
+append + batch compaction (`streaming/incremental.py`,
+`operators/compact.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.pipeline import _lang_pred_col, _quality_col
+from ..operators.textstats import tokens_col
+
+
+def streaming_clean(pages: DataFrame, lang: str = "en",
+                    min_quality: float = 0.0,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Admit-or-drop gate over a streaming web_pages DataFrame.
+
+    Input columns: (url, warc_ts, text, ...) — the input_hint shape.
+    Output: (url, warc_ts, text, lang_pred, quality) for pages that
+    pass the language gate, the quality threshold, and first-seen
+    exact dedup within the watermark horizon.  Works identically on
+    a batch DataFrame (minus the watermark state bound), which is
+    what the streaming==batch test pins."""
+    toks = tokens_col()
+    stats = pages.select(
+        "url", "warc_ts", "text",
+        _lang_pred_col(toks).alias("lang_pred"),
+        _quality_col(toks).alias("quality"),
+        F.md5("text").alias("_h"))
+    kept = stats.where((F.col("lang_pred") == lang)
+                       & (F.col("quality") >= min_quality))
+    if kept.isStreaming:
+        kept = (kept.withWatermark("warc_ts", watermark)
+                .dropDuplicatesWithinWatermark(["_h"]))
+    else:
+        # batch twin: global first-seen (min warc_ts, then url)
+        from pyspark.sql.window import Window
+        rn = F.row_number().over(
+            Window.partitionBy("_h").orderBy("warc_ts", "url"))
+        kept = kept.withColumn("_rn", rn).where(
+            F.col("_rn") == 1).drop("_rn")
+    return kept.drop("_h")

@@ -232,3 +232,44 @@ def test_sessionize_stream(spark, events_src):
         .groupBy("user_id").agg(F.sum("new_sess").alias("n")))
     for r in batch.collect():
         assert have.get(r["user_id"], 0) == r["n"] - 1, r
+
+
+def test_streaming_clean_gate(spark, tmp_path_factory):
+    """streaming_clean == its batch twin on the same pages, and the
+    within-watermark exact-dedup state drops re-crawled duplicates
+    (first arrival wins)."""
+    from rechercheinfoweb_spark.streaming.cleaning import (
+        streaming_clean,
+    )
+
+    src = str(tmp_path_factory.mktemp("clean_src"))
+    pages = synthetic_web_pages(spark, 80).drop("html")
+    # inject exact duplicates: 10 pages re-crawled 5 min later under
+    # new urls (same text bytes => same md5 => must be dropped)
+    dups = (pages.orderBy("url").limit(10)
+            .withColumn("url", F.concat(F.lit("https://mirror.example/"),
+                                        F.col("url")))
+            .withColumn("warc_ts",
+                        F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")))
+    allp = pages.unionByName(dups)
+    pages.write.parquet(f"{src}/b0")
+    dups.write.parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(allp.schema).parquet(f"{src}/*/")
+    out = streaming_clean(stream, lang="en", min_quality=0.0,
+                          watermark="1 hour")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("cleaned")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from cleaned").collect()
+
+    want = streaming_clean(allp, lang="en", min_quality=0.0).collect()
+    key = lambda r: (r["url"], r["lang_pred"], r["quality"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # every injected duplicate text must appear exactly once
+    got_h = [r["text"] for r in got]
+    assert len(got_h) == len(set(got_h))
+    # and the survivor of each dup pair is the FIRST arrival
+    assert not any(r["url"].startswith("https://mirror.example/")
+                   for r in got)
