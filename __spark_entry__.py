@@ -217,6 +217,27 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_winnow_fp(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (Rabin-Karp k-gram hashes,
+    per-window minima) — the Arrow kernel's O(k·n) Horner passes are
+    oracle-checked against DuckDB evaluating the same polynomial
+    positionally."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+WINNOW_MIN_OVERLAP = 20
+WINNOW_FP_DF_CAP = 50  # 29 fingerprints exceed this on the slice
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """Fingerprint-overlap near-dup pairs with the hot-fingerprint
+    guard TRIPPED (29 boilerplate fingerprints above the cap on this
+    slice are dropped before the self-join)."""
+    return dedup.winnow_overlap_pairs(
+        _pair_docs(spark, sf_dir), min_overlap=WINNOW_MIN_OVERLAP,
+        max_fp_df=WINNOW_FP_DF_CAP)
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).drop("doc_ids")
 
@@ -320,6 +341,38 @@ def _sql_simhash(doc_filter: str = "") -> str:
         votes_t AS (SELECT doc_id, {votes} FROM hv_t GROUP BY doc_id),
         sim_t AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
                   FROM votes_t)"""
+
+
+def _sql_winnow_fp_cte(extra_pred: str = "") -> str:
+    """CTE chain ending in ``fpt(doc_id, fp)`` — the DuckDB twin of
+    textstats.winnow_fingerprints: the SAME Rabin-Karp polynomial
+    (Horner form, mod 2^31-1 so every intermediate fits BIGINT)
+    evaluated positionally, then per-window minima + DISTINCT.  The
+    kernel computes it with k vectorized rolling passes; equal
+    results validate the vectorization against direct evaluation."""
+    K, W = textstats.WINNOW_K, textstats.WINNOW_W
+    B, M = textstats.WINNOW_B, textstats.WINNOW_M
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(K):
+        expr = (f"(({expr}) * {B} "
+                f"+ unicode(substr(text, i+{j}, 1))) % {M}")
+    return f"""
+        pos AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, length(text) - {K - 1}))
+                     AS i,
+                 text
+          FROM documents
+          WHERE {extra_pred}length(text) >= {K + W - 1}),
+        hh AS (SELECT doc_id, i, {expr} AS hv,
+                      length(text) - {K - 1} AS nh FROM pos),
+        wins AS (SELECT doc_id, i, nh,
+                        min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN CURRENT ROW
+                                      AND {W - 1} FOLLOWING) AS m
+                 FROM hh),
+        fpt AS (SELECT DISTINCT doc_id, m AS fp FROM wins
+                WHERE i <= nh - {W} + 1)"""
 
 
 # Connected components in ANSI SQL (DuckDB twin of
@@ -758,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lang_id": _q_lang_id,
         "ts_quality": _q_quality,
         "ts_fingerprint": _q_fingerprint,
+        "ts_winnow_fp": _q_winnow_fp,
+        "dd_winnow_pairs": _q_winnow_pairs,
         "dd_exact": _q_dedup_exact,
         "dd_minhash_sigs": _q_minhash_sigs,
         "dd_lsh_pairs": _q_lsh_pairs,
@@ -986,6 +1041,21 @@ def oracle_sql() -> dict[str, str]:
                        string_split_regex(text, '{SQL_TOKEN_SPLIT}'),
                        t -> t <> ''), ' '))) AS norm_fingerprint
             FROM documents""",
+        "ts_winnow_fp": f"""
+            WITH {_sql_winnow_fp_cte()}
+            SELECT doc_id, fp FROM fpt""",
+        "dd_winnow_pairs": f"""
+            WITH {_sql_winnow_fp_cte(
+                f"doc_id < {PAIR_DOC_LIMIT} AND ")},
+            hot AS (SELECT fp FROM fpt GROUP BY fp
+                    HAVING count(*) > {WINNOW_FP_DF_CAP}),
+            fpk AS (SELECT fpt.* FROM fpt ANTI JOIN hot USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS overlap
+            FROM fpk a JOIN fpk b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= {WINNOW_MIN_OVERLAP}""",
         "dd_exact": """
             SELECT md5(text) AS h, count(*) AS n_dups,
                    min(doc_id) AS keep_id

@@ -341,6 +341,14 @@ def main() -> None:
     with timed("jaccard_pairs_capped"):
         extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15, max_shingle_df=3).count()
+    # rolling-hash winnowing fingerprints (full table) + overlap
+    # pairs with the hot-fingerprint guard
+    with timed("winnow_fp"):
+        extra["winnow_fp_rows"] = textstats.winnow_fingerprints(
+            docs).count()
+    with timed("winnow_pairs"):
+        extra["winnow_pairs"] = dedup.winnow_overlap_pairs(
+            pair_docs, min_overlap=20, max_fp_df=50).count()
     # the production path: capped-LSH candidates -> exact Jaccard
     # verify on candidates only (vs jaccard_pairs' all-pairs join)
     with timed("lsh_jaccard_verified"):

@@ -228,6 +228,33 @@ def lsh_jaccard_verified_pairs(docs: DataFrame, n: int = 3,
                     "jaccard"))
 
 
+def winnow_overlap_pairs(docs: DataFrame, min_overlap: int = 5,
+                         max_fp_df: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, overlap) for pairs sharing >= ``min_overlap``
+    fingerprints.
+
+    Same inverted-list join shape as the LSH band join — linear in
+    total fingerprint postings for discriminative fingerprints; a
+    fingerprint shared by d docs yields d² join rows, so
+    ``max_fp_df`` drops boilerplate fingerprints above the cap
+    before the self-join (broadcast anti-join, like the other
+    degenerate-key guards in this module)."""
+    from .textstats import winnow_fingerprints
+    fp = winnow_fingerprints(docs)
+    if max_fp_df is not None:
+        hot = (fp.groupBy("fp").agg(F.count("*").alias("c"))
+               .where(F.col("c") > max_fp_df).select("fp"))
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, "fp")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("overlap"))
+            .where(F.col("overlap") >= min_overlap))
+
+
 def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical).
 

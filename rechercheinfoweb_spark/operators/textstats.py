@@ -102,6 +102,65 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Winnowing (MOSS-style) fingerprint parameters: k-gram length in
+# codepoints, window of consecutive k-gram hashes, polynomial base,
+# prime modulus (2^31-1 keeps every intermediate in BIGINT range so
+# the DuckDB oracle can mirror the arithmetic exactly).
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_M = (1 << 31) - 1
+
+
+def _winnow_kernel(k: int, w: int):
+    """mapInPandas: (doc_id, text) → exploded (doc_id, fp) winnowing
+    fingerprints.
+
+    Rabin-Karp polynomial hash over Unicode codepoints, computed for
+    ALL positions at once with k vectorized Horner passes
+    (h = h·B + c, mod M) — O(k·n) numpy ops, no per-char Python.
+    Winnowing then takes the min hash of every w-length window
+    (sliding_window_view) and emits the DISTINCT minima: a ~1/w
+    density sample of the k-gram hash stream that is position-stable
+    under local edits (Schleimer et al., SIGMOD'03)."""
+    def fn(batches):
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+        import numpy as np
+        B, M = np.uint64(WINNOW_B), np.uint64(WINNOW_M)
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(
+                    (text or "").encode("utf-32-le"),
+                    dtype=np.uint32).astype(np.uint64)
+                n = int(codes.size) - k + 1
+                if n < w:  # no full window of k-gram hashes
+                    continue
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):
+                    h = (h * B + codes[j:j + n]) % M
+                mins = sliding_window_view(h, w).min(axis=1)
+                u = np.unique(mins).astype(np.int64)
+                ids.extend([doc_id] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+    return fn
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: (doc_id, fp).
+
+    The rolling-hash fingerprint family the training-data brief
+    names: robust to local edits (a change touches only the ~k+w
+    windows it overlaps), ~|text|/w fingerprints per doc.  Docs
+    shorter than k+w-1 codepoints emit nothing."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _winnow_kernel(k, w), schema="doc_id long, fp long")
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 over the normalized
     (lowercased, single-space-joined) token stream — catches

@@ -153,3 +153,66 @@ def test_clean_corpus_stages_compose(spark, small_docs):
     canon = _components_brute(pairs)
     want = sorted(d for d in ids3 if canon.get(d, d) == d)
     assert got == want
+
+
+def _winnow_brute(text: str) -> set[int]:
+    from rechercheinfoweb_spark.operators.textstats import (
+        WINNOW_B, WINNOW_K, WINNOW_M, WINNOW_W,
+    )
+    codes = [ord(c) for c in text]
+    n = len(codes) - WINNOW_K + 1
+    if n < WINNOW_W:
+        return set()
+    hs = []
+    for i in range(n):
+        h = 0
+        for j in range(WINNOW_K):
+            h = (h * WINNOW_B + codes[i + j]) % WINNOW_M
+        hs.append(h)
+    return {min(hs[i:i + WINNOW_W]) for i in range(n - WINNOW_W + 1)}
+
+
+def test_winnow_fingerprints_match_bruteforce(spark):
+    """The vectorized Horner kernel == positional polynomial
+    evaluation, including short-doc edge cases (len < k+w-1 emits
+    nothing) and non-ASCII codepoints."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",            # < k: no k-grams
+        "exactly11ch",      # k-grams but no full window
+        "a" * 30,           # all-identical hashes
+        "naïve café über — ünïcode",  # non-ASCII codepoints
+        "The data of streams and queries, repeated. " * 3,
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in textstats.winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_brute(t), t
+
+
+def test_winnow_overlap_pairs_shared_content(spark):
+    """Docs sharing a long passage pair up; unrelated docs don't;
+    the hot-fingerprint cap drops boilerplate-only pairs."""
+    shared = "an identical long passage that yields many fingerprints"
+    boiler = "common boilerplate header present everywhere here"
+    texts = [
+        (0, shared + " with tail zero"),
+        (1, shared + " and another different ending"),
+        (2, "completely unrelated text about something else entirely"),
+        (3, boiler + " unique suffix three"),
+        (4, boiler + " unique suffix four four"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.winnow_overlap_pairs(
+                 docs, min_overlap=5).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    # cap at df > 4 keeps everything (no fp is in all 5 docs), but a
+    # cap of 1 kills every shared fingerprint -> no pairs at all
+    none = dedup.winnow_overlap_pairs(docs, min_overlap=1,
+                                      max_fp_df=1).collect()
+    assert none == []
