@@ -9,9 +9,11 @@ block-max pruning.
 from SURVEY.md §2 (term counts A1/A2, df/idf A4, boolean set ops
 Q3-Q5, ranked scoring Q7-Q9, BM25, corpus stats A7, doc-id
 assignment A6) plus the training-data-pipeline operators (dedup
-exact/minhash-LSH/n-gram-Jaccard, ANN cosine, language ID, quality,
-fingerprints, event rollups/sessionization) with ANSI-SQL DuckDB
-oracles.  SQL-parity queries use the SQL-portable tokenizer (split
+exact/minhash-LSH/n-gram-Jaccard/simhash, LSH→exact-Jaccard verify,
+near-dup connected components, the four-stage cleaning pipeline,
+winnowing rolling-hash fingerprints + overlap pairs, ANN cosine/
+LSH/IVF, language ID, quality, token counts, fingerprints, event
+rollups/sessionization) with ANSI-SQL DuckDB oracles.  SQL-parity queries use the SQL-portable tokenizer (split
 on non-alphanumeric) — the engine's stemmed tokenizer cannot run in
 DuckDB; the stemmed path is oracle-checked in pytest instead
 (tests/test_query_vector.py, rank-identical vs oracle/pyoracle.py).

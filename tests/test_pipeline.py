@@ -216,3 +216,22 @@ def test_winnow_overlap_pairs_shared_content(spark):
     none = dedup.winnow_overlap_pairs(docs, min_overlap=1,
                                       max_fp_df=1).collect()
     assert none == []
+
+
+def test_dedup_clusters_empty_and_keep_noop(spark):
+    """Empty pair set: no clusters, dedup_keep passes docs through."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dedup_clusters(empty).collect() == []
+    docs = spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "doc_id long, text string")
+    assert sorted(r["doc_id"] for r in
+                  dedup.dedup_keep(docs, empty).collect()) == [1, 2]
+
+
+def test_clean_corpus_all_filtered(spark):
+    """A corpus with nothing in the target language survives as an
+    empty result, not an error (stage 4 sees zero pairs)."""
+    docs = spark.createDataFrame(
+        [(1, "der und das nicht ist"), (2, "el que de en es")],
+        "doc_id long, text string")
+    assert pipeline.clean_corpus(docs, lang="en").collect() == []
