@@ -940,7 +940,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_doc_tf": _SQL_TF,
         "ft_doc_token_counts": f"""
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(string_split_regex(trim(text),
+                       '{textstats.WS_SPLIT_RE}')) AS ws_tokens,
                    {alnum} AS alnum_tokens,
                    len(regexp_extract_all(text,
                        '{textstats.BPE_SPLIT_RE}')) AS bpe_tokens,

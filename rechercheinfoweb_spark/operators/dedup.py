@@ -217,15 +217,22 @@ def lsh_jaccard_verified_pairs(docs: DataFrame, n: int = 3,
                     F.col("sh").alias("sh_b"),
                     F.col("n_sh").alias("size_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (cand.join(a, "doc_a").join(b, "doc_b")
-            .withColumn("inter", inter.cast("long"))
-            .withColumn("jaccard", F.round(
-                F.col("inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-                6))
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "inter", "size_a", "size_b",
-                    "jaccard"))
+    res = (cand.join(a, "doc_a").join(b, "doc_b")
+           .withColumn("inter", inter.cast("long"))
+           .withColumn("jaccard", F.round(
+               F.col("inter")
+               / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+               6))
+           .where(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "inter", "size_a", "size_b",
+                   "jaccard"))
+    # eager finalize: materialize the (small) verified-pair result,
+    # then release the two fat cached intermediates deterministically
+    # — a long-lived session must not accumulate them
+    res = res.localCheckpoint()
+    cand.unpersist()
+    sets.unpersist()
+    return res
 
 
 def winnow_overlap_pairs(docs: DataFrame, min_overlap: int = 5,
@@ -241,18 +248,24 @@ def winnow_overlap_pairs(docs: DataFrame, min_overlap: int = 5,
     before the self-join (broadcast anti-join, like the other
     degenerate-key guards in this module)."""
     from .textstats import winnow_fingerprints
-    fp = winnow_fingerprints(docs)
+    # the fingerprint relation feeds the hot-key aggregate AND both
+    # sides of the self-join — persist, or the Python winnow kernel
+    # (the costliest op here) runs once per branch
+    fp0 = fp = winnow_fingerprints(docs).persist()
     if max_fp_df is not None:
         hot = (fp.groupBy("fp").agg(F.count("*").alias("c"))
                .where(F.col("c") > max_fp_df).select("fp"))
         fp = fp.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, "fp")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("overlap"))
-            .where(F.col("overlap") >= min_overlap))
+    res = (a.join(b, "fp")
+           .where(F.col("a.doc_id") < F.col("b.doc_id"))
+           .groupBy(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+           .agg(F.count("*").alias("overlap"))
+           .where(F.col("overlap") >= min_overlap))
+    res = res.localCheckpoint()  # eager finalize (see above)
+    fp0.unpersist()
+    return res
 
 
 def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
@@ -273,16 +286,21 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     ``max_rounds`` as a safety rail.
 
     Scale shape per round: one shuffle for the neighbor-min groupBy
-    + one self-join on the (small) label table; lineage is truncated
-    with localCheckpoint every round so the plan does not grow
-    exponentially across iterations.  The convergence check is a
-    single count() on changed labels.  At 10^12 docs the label table
-    is |nodes in any pair| rows — orders of magnitude below corpus
-    size, since only near-dup members appear in pairs.
+    + one self-join on the (small) label table.  Each round's label
+    table is persisted and the PREVIOUS round's is unpersisted once
+    the convergence count has consumed it, so executor storage holds
+    at most two label tables at any time; lineage is truncated with
+    a localCheckpoint every 8 rounds (real convergence takes 2-4) so
+    the plan cannot grow unboundedly either.  The convergence check
+    is a single count() on changed labels.  At 10^12 docs the label
+    table is |nodes in any pair| rows — orders of magnitude below
+    corpus size, since only near-dup members appear in pairs.
 
     Returns one row per doc that appears in ``pairs`` (doc_id,
     canonical); docs in no pair are their own canonical and are
-    omitted — join back with a left join + coalesce."""
+    omitted — join back with a left join + coalesce.  The returned
+    DataFrame is the final (persisted) label table — small, and
+    reclaimed by the context cleaner when the caller drops it."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -291,8 +309,8 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     labels = (edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
               .select(F.col("src").alias("doc_id"),
                       F.least("src", "nbr_min").alias("label"))
-              .localCheckpoint())
-    for _ in range(max_rounds):
+              .persist())
+    for rnd in range(max_rounds):
         # neighbor min: min label over adjacent nodes
         nbr = (edges.join(labels.withColumnRenamed("doc_id", "dst"),
                           "dst")
@@ -309,11 +327,13 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                        F.least("label",
                                F.coalesce("jump_label", F.col("label")),
                                F.coalesce("nbr_label", F.col("label")))
-                       .alias("label"))
-               .localCheckpoint())
+                       .alias("label")))
+        new = (new.localCheckpoint() if (rnd + 1) % 8 == 0
+               else new.persist())
         changed = (new.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()  # `changed` materialized `new`; old round done
         labels = new
         if changed == 0:
             break

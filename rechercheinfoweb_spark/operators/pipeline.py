@@ -108,5 +108,11 @@ def clean_corpus(docs: DataFrame, lang: str = "en",
     # stagewise order every production pipeline uses — no point
     # simhashing docs already dropped)
     pairs = simhash_near_pairs(kept, radius=simhash_radius)
-    return (dedup_keep(kept, pairs)
-            .select("doc_id", "lang_pred", "quality"))
+    res = (dedup_keep(kept, pairs)
+           .select("doc_id", "lang_pred", "quality"))
+    # eager finalize: materialize the narrow survivor table, then
+    # release the cached stage-3 output (which still carries text)
+    # so a long-lived session does not accumulate it
+    res = res.localCheckpoint()
+    kept.unpersist()
+    return res

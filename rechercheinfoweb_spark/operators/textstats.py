@@ -35,12 +35,19 @@ def tokens_col(col: str = "text") -> Column:
                     lambda t: t != "")
 
 
+# Explicit whitespace class instead of \s: Java's \s includes
+# vertical tab (\x0B) but RE2's does not, so \s is NOT portable
+# between Spark and the DuckDB oracle.  The escape forms \t \n \f \r
+# mean the same thing in both dialects.
+WS_SPLIT_RE = r"[ \t\n\f\r]+"
+
 # BPE-ish pre-tokenizer (GPT-2-style segmentation, ASCII classes
 # only so Spark's Java regex and DuckDB's RE2 agree): an optional
 # leading space glued to a letter-run / digit-run / punct-run, or a
 # whitespace run.  Counting these segments approximates BPE token
 # counts the way training-data pipelines budget documents.
-BPE_SPLIT_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+BPE_SPLIT_RE = (r" ?[A-Za-z]+| ?[0-9]+"
+                r"| ?[^A-Za-z0-9 \t\n\f\r]+|[ \t\n\f\r]+")
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -48,7 +55,8 @@ def token_counts(docs: DataFrame) -> DataFrame:
     BPE-ish pre-tokenizer segments + chars."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_SPLIT_RE))
+         .alias("ws_tokens"),
         F.size(tokens_col()).alias("alnum_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE),
                                     F.lit(0))).alias("bpe_tokens"),

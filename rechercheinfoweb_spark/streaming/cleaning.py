@@ -38,9 +38,18 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     Input columns: (url, warc_ts, text, ...) — the input_hint shape.
     Output: (url, warc_ts, text, lang_pred, quality) for pages that
     pass the language gate, the quality threshold, and first-seen
-    exact dedup within the watermark horizon.  Works identically on
-    a batch DataFrame (minus the watermark state bound), which is
-    what the streaming==batch test pins."""
+    exact dedup within the watermark horizon.
+
+    Duplicate-group tie-break: the streaming path keeps the first
+    PROCESSED member (``dropDuplicatesWithinWatermark`` semantics —
+    arrival order, which is nondeterministic within a micro-batch);
+    on a batch DataFrame this function instead canonicalizes by
+    (warc_ts, url).  The SET of surviving texts — and therefore
+    every downstream statistic — is identical either way; only which
+    url represents a duplicate group can differ, which is inherent
+    to streaming dedup (no total order exists over an unbounded
+    stream).  The streaming==batch test compares at content level
+    for exactly this reason."""
     toks = tokens_col()
     stats = pages.select(
         "url", "warc_ts", "text",
