@@ -40,7 +40,8 @@ from rechercheinfoweb_spark.operators import (
     dedup, pipeline, similarity, textstats,
 )
 from rechercheinfoweb_spark.operators.textstats import (
-    LANG_MARKERS, SQL_TOKEN_SPLIT,
+    LANG_MARKERS, PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+    SQL_TOKEN_SPLIT,
 )
 
 K1, B = 1.2, 0.75
@@ -217,6 +218,43 @@ def _q_quality(spark, sf_dir):
 
 def _q_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition features (dup-line fractions, top-
+    bigram fraction) — the zero-shuffle sorted-run folds are oracle-
+    checked against DuckDB unnest + GROUP BY recomputing the same
+    counts relationally."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+DECON_N = 3  # contract n-gram order: trigrams overlap meaningfully
+#: deterministic benchmark slice for the decontamination contract
+DECON_BENCH_MOD = 97
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set n-gram decontamination: docs (doc_id % 97 == 0) act
+    as the benchmark, every other doc is training data; emits the
+    per-doc count of distinct leaked trigrams (pipeline.
+    contamination — broadcast benchmark grams, corpus never
+    shuffled on gram strings)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return pipeline.contamination(train, bench, n=DECON_N)
+
+
+def _q_pii(spark, sf_dir):
+    """Regex PII scrub (emails/IPv4/intl phones → sentinels +
+    per-doc counts) — the patterns are RE2-compatible by
+    construction, so the DuckDB oracle runs the SAME regexes."""
+    return textstats.scrub_pii(_docs(spark, sf_dir))
+
+
+def _q_source_mix(spark, sf_dir):
+    """Per-source doc/token/char totals (training-mix budgeting)."""
+    return textstats.source_mix(_docs(spark, sf_dir))
 
 
 def _q_winnow_fp(spark, sf_dir):
@@ -813,7 +851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lang_id": _q_lang_id,
         "ts_quality": _q_quality,
         "ts_fingerprint": _q_fingerprint,
+        "ts_repetition": _q_repetition,
+        "ts_pii": _q_pii,
+        "ts_source_mix": _q_source_mix,
         "ts_winnow_fp": _q_winnow_fp,
+        "pp_decontaminate": _q_decontaminate,
         "dd_winnow_pairs": _q_winnow_pairs,
         "dd_exact": _q_dedup_exact,
         "dd_minhash_sigs": _q_minhash_sigs,
@@ -1044,6 +1086,112 @@ def oracle_sql() -> dict[str, str]:
                        string_split_regex(text, '{SQL_TOKEN_SPLIT}'),
                        t -> t <> ''), ' '))) AS norm_fingerprint
             FROM documents""",
+        "ts_repetition": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id, lines,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                     ELSE [] END AS bigrams
+              FROM base),
+            lc AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS ln
+              FROM (SELECT doc_id, unnest(lines) AS line FROM bg) t
+              GROUP BY doc_id, line),
+            la AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(coalesce(sum(CASE WHEN c >= 2
+                                       THEN c * ln END), 0) AS BIGINT)
+                         AS dup_chars,
+                     CAST(sum(c * ln) AS BIGINT) AS total_chars
+              FROM lc GROUP BY doc_id),
+            bgc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(bigrams) AS g FROM bg) t
+              GROUP BY doc_id, g),
+            bca AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+                     CAST(sum(c) AS BIGINT) AS n_bg
+              FROM bgc GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(la.n_lines, 0) AS n_lines,
+                   round((coalesce(la.n_lines, 0)
+                          - coalesce(la.n_distinct, 0)) * 1.0
+                         / greatest(coalesce(la.n_lines, 0), 1), 6)
+                       AS dup_line_frac,
+                   round(coalesce(la.dup_chars, 0) * 1.0
+                         / greatest(coalesce(la.total_chars, 0), 1), 6)
+                       AS dup_line_char_frac,
+                   coalesce(bca.n_bg, 0) AS n_bigrams,
+                   round(coalesce(bca.top_bg, 0) * 1.0
+                         / greatest(coalesce(bca.n_bg, 0), 1), 6)
+                       AS top_bigram_frac
+            FROM bg b
+            LEFT JOIN la ON b.doc_id = la.doc_id
+            LEFT JOIN bca ON b.doc_id = bca.doc_id""",
+        "pp_decontaminate": f"""
+            WITH toksd AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= {DECON_N} THEN
+                       list_transform(
+                         range(1, len(toks) - {DECON_N} + 2),
+                         i -> array_to_string(
+                             toks[i:i+{DECON_N}-1], ' '))
+                     ELSE [] END AS grams
+              FROM toksd),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM grams
+              WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            train AS (
+              SELECT doc_id, unnest(list_distinct(grams)) AS gram
+              FROM grams WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM train JOIN bench USING (gram)
+            GROUP BY doc_id""",
+        "ts_pii": f"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                         '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                     regexp_replace(text, '{PII_EMAIL_RE}',
+                                    '<EMAIL>', 'g') AS t1
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t1,
+                         '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+                     regexp_replace(t1, '{PII_IPV4_RE}',
+                                    '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                       '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+                   regexp_replace(t2, '{PII_PHONE_RE}',
+                                  '<PHONE>', 'g') AS scrubbed_text
+            FROM s2""",
+        "ts_source_mix": f"""
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(string_split_regex(text,
+                       '{SQL_TOKEN_SPLIT}'), t -> t <> '')))
+                       AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM documents GROUP BY source""",
         "ts_winnow_fp": f"""
             WITH {_sql_winnow_fp_cte()}
             SELECT doc_id, fp FROM fpt""",

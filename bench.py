@@ -324,6 +324,15 @@ def main() -> None:
 
     with timed("quality_score"):
         textstats.quality_score(docs).agg(F.avg("quality")).collect()
+    with timed("repetition_stats"):
+        textstats.repetition_stats(docs).agg(
+            F.avg("top_bigram_frac")).collect()
+    with timed("decontaminate"):
+        from rechercheinfoweb_spark.operators import pipeline
+        bench_docs = docs.where(F.col("doc_id") % 97 == 0)
+        train_docs = docs.where(F.col("doc_id") % 97 != 0)
+        extra["decontaminated"] = pipeline.decontaminate(
+            train_docs, bench_docs, n=3).count()
     with timed("minhash_sigs"):
         dedup.minhash_signatures(docs).count()
     pair_docs = docs.where(F.col("doc_id") < 500)

@@ -72,6 +72,56 @@ def _quality_col(toks: Column) -> Column:
         + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
 
 
+def ngrams_col(n: int, col: str = "text") -> Column:
+    """Lowercased token *n*-grams of *col* joined by single spaces
+    (SQL-portable tokenizer, so the DuckDB oracle can recompute
+    them)."""
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    sz = F.size(toks)
+    return F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 8) -> DataFrame:
+    """(doc_id, n_hits): how many DISTINCT benchmark token n-grams
+    each training doc contains (docs with zero hits are absent).
+
+    The standard eval-set decontamination check (GPT-3 appx. C /
+    PaLM-style n-gram overlap): a training document sharing any
+    n-gram with a benchmark document leaks the benchmark.  ``n=8`` by
+    default; production text pipelines use 8-13.
+
+    Scale shape: the benchmark side is an eval set — thousands of
+    docs, MBs — so its distinct-gram table is broadcast; the corpus
+    side is one map-side scan (array n-grams → array_distinct →
+    explode) into a broadcast-hash semi-join, then one partial-agg
+    shuffle keyed by doc_id for the counts.  The 100-TB corpus is
+    never shuffled on gram strings."""
+    bench_grams = (benchmark
+                   .select(F.explode(ngrams_col(n)).alias("gram"))
+                   .distinct())
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_col(n))).alias("gram"))
+    return (doc_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 8, min_hits: int = 1) -> DataFrame:
+    """Training docs sharing fewer than ``min_hits`` distinct token
+    n-grams with the benchmark set (the survivors).  Anti-join on
+    doc_id keys only — the wide text column is never shuffled."""
+    flagged = (contamination(docs, benchmark, n)
+               .where(F.col("n_hits") >= min_hits))
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
 def doc_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, text, lang_pred, quality) in ONE map-side projection
     — the fused stage-1/2 scan of :func:`clean_corpus`."""

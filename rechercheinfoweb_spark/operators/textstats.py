@@ -169,6 +169,141 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
         _winnow_kernel(k, w), schema="doc_id long, fp long")
 
 
+def _scan_sorted_runs(arr: Column, run_value, combine=None) -> Column:
+    """One map-side pass over ``array_sort(arr)`` tracking equal-
+    element runs: folds with state (prev, run, acc); every time a run
+    closes (and once more at the end) the accumulator becomes
+    ``combine(acc, run_value(prev, run))`` — ``combine`` defaults to
+    addition; pass ``F.greatest`` for a max-over-runs.  Zero shuffles
+    — this is how the per-doc repetition features stay inside
+    whole-stage codegen instead of paying an explode + two-level
+    groupBy."""
+    zero = F.lit(0).cast("long")
+    if combine is None:
+        combine = lambda a, b: a + b  # noqa: E731
+
+    def close(acc):
+        return combine(acc["acc"], run_value(acc["prev"], acc["run"]))
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.when(same, acc["acc"]).otherwise(close(acc)).alias("acc"))
+
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    zero.alias("run"), zero.alias("acc"))
+    return F.aggregate(F.array_sort(arr), init, merge, close)
+
+
+def _lines_col(col: str = "text") -> Column:
+    """Non-empty trimmed lines of *col* (split on \\n)."""
+    return F.filter(
+        F.transform(F.split(F.col(col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+
+
+def _bigrams_col(col: str = "text") -> Column:
+    """Lowercased adjacent token bigrams ("tok1 tok2")."""
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    n = F.size(toks)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-doc repetition features (Rae et al. 2021
+    §A1.1: "repetitious documents are low quality"): duplicate-line
+    fraction, fraction of characters inside duplicated lines, and the
+    fraction of token bigrams taken by the single most frequent
+    bigram.  Training pipelines threshold these to drop boilerplate
+    and degenerate (looping) text.
+
+    Scale shape: every feature is a pure array expression over one
+    row — a single corpus scan, zero shuffles, no Python.  The
+    duplicate counts come from one sorted-run fold per array
+    (:func:`_scan_sorted_runs`) instead of explode + groupBy(doc_id,
+    item) + re-agg, which would shuffle the corpus twice."""
+    lines = _lines_col()
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    zero = F.lit(0).cast("long")
+    dup_chars = _scan_sorted_runs(
+        lines, lambda prev, run: F.when(
+            run >= 2, run * F.length(prev).cast("long")).otherwise(zero))
+    tot_chars = F.aggregate(
+        lines, zero, lambda acc, l: acc + F.length(l).cast("long"))
+    bigrams = _bigrams_col()
+    n_bg = F.size(bigrams)
+    top_bg = _scan_sorted_runs(bigrams, lambda _prev, run: run,
+                               combine=F.greatest)
+
+    def frac(num, den):
+        return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(n_lines - n_dist, n_lines).alias("dup_line_frac"),
+        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
+        n_bg.alias("n_bigrams"),
+        frac(top_bg, n_bg).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns — deliberately RE2-compatible (no lookaround, no
+# backreferences) so Spark's Java regex and the DuckDB oracle's RE2
+# match the same spans; ASCII classes only.  Production pipelines
+# layer NER models on top; the regex tier is the always-on backstop.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+PII_PHONE_RE = r"\+[0-9]{7,15}\b"  # international +NNNNNNN form
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers with
+    sentinel tokens and count the redactions per doc.
+
+    One map-side projection (regexp_count + chained regexp_replace,
+    whole-stage codegen) — at 100 TB this runs inside the same corpus
+    scan as the quality gate, shuffling nothing.  Redaction order is
+    fixed (email → ip → phone) so spans consumed by an earlier rule
+    can't double-count in a later one."""
+    email_n = F.regexp_count("text", F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    ip_n = F.regexp_count(after_email, F.lit(PII_IPV4_RE))
+    after_ip = F.regexp_replace(after_email, F.lit(PII_IPV4_RE),
+                                F.lit("<IP>"))
+    phone_n = F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(after_ip, F.lit(PII_PHONE_RE),
+                                F.lit("<PHONE>"))
+    return docs.select(
+        "doc_id",
+        email_n.cast("long").alias("n_emails"),
+        ip_n.cast("long").alias("n_ips"),
+        phone_n.cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Per-source corpus mix: doc/token/char totals — the numbers a
+    training run budgets its data mixture with.  One partial-agg
+    shuffle keyed by source (map-side combine does the heavy
+    lifting; source cardinality is tiny)."""
+    return (docs
+            .select("source", F.size(tokens_col()).alias("n_tok"),
+                    F.length("text").alias("n_ch"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+                 F.sum(F.col("n_ch").cast("long")).alias("n_chars")))
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 over the normalized
     (lowercased, single-space-joined) token stream — catches
