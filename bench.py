@@ -51,7 +51,24 @@ def host_canary() -> dict:
         ntok += len(raw)
     return {"host_first_touch_mb_s": fault_mb_s,
             "host_tokenize_ktok_s": round(ntok / (time.time() - t0)
-                                          / 1e3, 0)}
+                                          / 1e3, 0),
+            "host_steal_pct": _steal_pct()}
+
+
+def _steal_pct(interval: float = 1.0) -> float:
+    """Hypervisor CPU-steal percentage over a 1 s window (live-
+    diagnosed on this sandbox: 11% machine-wide steal + khugepaged
+    at 50% of a core while a pinned 8-core build sat 70% idle —
+    fault-service throttling the guest cannot see in user time)."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    t1, s1 = snap()
+    time.sleep(interval)
+    t2, s2 = snap()
+    return round(100.0 * (s2 - s1) / max(1, t2 - t1), 1)
 
 
 def main() -> None:

@@ -6,6 +6,32 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Allocator environment for every JVM/python-worker child this
+# session spawns.  The engine's hot kernels are Arrow-batched, and
+# both allocators in the default path RETURN each batch's buffers to
+# the kernel on free (glibc munmaps >128 KiB allocations; pyarrow's
+# default jemalloc madvises them away), so every batch re-faults its
+# pages — long-lived executors paying a page-fault tax per batch
+# forever.  Measured on this host (same churn loop, touch every
+# page): glibc default 4.0 GB/s vs 8.5 with a 1 GiB mmap/trim
+# threshold; pyarrow jemalloc 2.3 GB/s vs mimalloc 16.0.  On a
+# fault-throttled host (this sandbox degrades to ~0.2 GB/s) the gap
+# is the difference between CPU-bound and fault-bound executors.
+# Children inherit os.environ; local-cluster executors additionally
+# get these via spark.executorEnv.* (set in get_spark).
+WORKER_ALLOC_ENV = {
+    "ARROW_DEFAULT_MEMORY_POOL": "mimalloc",
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    # mimalloc purges (madvises away) free pages after 10 ms by
+    # default — tight loops amortize that, real per-batch gaps do
+    # not, and every purged page refaults on the next batch.  100 s
+    # keeps buffers resident across batches while still returning
+    # memory when a worker goes truly idle.
+    "MIMALLOC_PURGE_DELAY": "100000",
+    "MIMALLOC_RESET_DELAY": "100000",  # pre-2.x name of the same knob
+}
+
 
 def _machine_ram_gb() -> int:
     """Total physical RAM in GiB (MemTotal), 128 if unreadable."""
@@ -57,6 +83,8 @@ def get_spark(app_name: str = "rechercheinfoweb-spark",
     """
     cores = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
     master = master or f"local[{cores}]"
+    for k, v in WORKER_ALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     if shuffle_partitions is None:
         n = int(master[master.index("[") + 1:-1]) if "[" in master else 32
         shuffle_partitions = max(8, 2 * n)
@@ -75,6 +103,8 @@ def get_spark(app_name: str = "rechercheinfoweb-spark",
                 os.environ.get("SPARK_DRIVER_MEMORY",
                                _default_driver_memory(master)))
     )
+    for k, v in WORKER_ALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
