@@ -346,6 +346,52 @@ def _q_clusters(spark, sf_dir):
 
 PP_MIN_QUALITY = 0.42  # keeps ~65% of the sf0.01 slice (median 0.449)
 
+# stratified-sample rates: mixed full/half/quarter keeps plus an
+# implicit drop of every other source — each branch genuinely
+# exercised on the sf0.01 slice (20 sources x 25 docs)
+PP_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+PP_QUANTILE_KEEP = 0.4
+PHRASE_QUERY = "data query"  # 22 phrase-matching docs at sf0.01
+
+
+def _q_sample(spark, sf_dir):
+    """Deterministic per-source hash sampling
+    (pipeline.stratified_sample): md5-prefix fraction < rate, a pure
+    map-side predicate reproducible across engines and partitionings
+    — the 100-TB way to rebalance a source mix."""
+    return (pipeline.stratified_sample(_docs(spark, sf_dir),
+                                       PP_SAMPLE_RATES)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def _q_quality_quantile(spark, sf_dir):
+    """Per-source quality-quantile gate
+    (pipeline.quality_quantile_filter): keep each source's top 40%
+    by the composite quality score, rank-based with doc_id
+    tie-break so the kept set is deterministic."""
+    return (pipeline.quality_quantile_filter(
+        _docs(spark, sf_dir), PP_QUANTILE_KEEP)
+        .select("doc_id", "source", "quality").orderBy("doc_id"))
+
+
+def _q_phrase(spark, sf_dir):
+    """Exact phrase retrieval from the positional sidecar
+    (operators/positions.py): overlap-aware occurrence counts, no
+    document text read at query time.  SQL-portable tokenizer so
+    DuckDB can recompute the phrase semantics positionally."""
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.positions import (
+        build_positions, phrase_search,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"riw_pos_{_content_key(f'{sf_dir}/documents.parquet')}")
+    if not os.path.exists(os.path.join(out, "positions_meta.json")):
+        build_positions(spark, _docs(spark, sf_dir), out,
+                        n_buckets=8, n_salts=4, tokenizer="sql")
+    return phrase_search(spark, out, PHRASE_QUERY)
+
 
 def _q_pipeline_clean(spark, sf_dir):
     """End-to-end training-data cleaning (operators/pipeline.py):
@@ -868,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_simhash_pairs,
         "dd_clusters": _q_clusters,
         "pp_clean": _q_pipeline_clean,
+        "pp_sample": _q_sample,
+        "pp_quality_quantile": _q_quality_quantile,
+        "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_index_topk": _q_ann_index,
@@ -902,6 +951,12 @@ def oracle_sql() -> dict[str, str]:
     ) + " ELSE 'und' END")
     alnum = ("len(list_filter(string_split_regex(text, "
              f"'{SQL_TOKEN_SPLIT}'), t -> t <> ''))")
+    sample_case = ("CASE source " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in PP_SAMPLE_RATES.items())
+        + " END")
+    phrase_words = PHRASE_QUERY.split()
+    phrase_pred = " AND ".join(
+        f"l[i+{j}] = '{w}'" for j, w in enumerate(phrase_words))
     mh = ",\n        ".join(
         f"min(md5('{i}:' || term)) AS mh{i}" for i in range(dedup.MINHASH_K))
     rpb = dedup.MINHASH_K // dedup.LSH_BANDS
@@ -1327,6 +1382,53 @@ def oracle_sql() -> dict[str, str]:
             FROM keep2 k JOIN langq l USING (doc_id)
             WHERE k.doc_id NOT IN (SELECT doc_id FROM canon
                                    WHERE doc_id <> canonical)
+            ORDER BY doc_id""",
+        "pp_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {sample_case} IS NOT NULL
+              AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT / 4294967296.0
+                  < {sample_case}
+            ORDER BY doc_id""",
+        "pp_quality_quantile": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     round(0.4 * round(n_alpha * 1.0
+                               / greatest(n_chars, 1), 6)
+                         + 0.4 * round(n_stop * 1.0
+                               / greatest(n_tokens, 1), 6)
+                         + 0.2 * least(n_tokens / 100.0, 1.0), 6)
+                         AS quality
+              FROM (SELECT doc_id, source,
+                           {alnum} AS n_tokens,
+                           length(text) AS n_chars,
+                           length(regexp_replace(text, '[^a-zA-Z]',
+                                                 '', 'g')) AS n_alpha,
+                           len(list_filter(string_split_regex(text,
+                               '{SQL_TOKEN_SPLIT}'),
+                               t -> lower(t) IN ({en}))) AS n_stop
+                    FROM documents) d),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id) AS rk,
+                         count(*) OVER (PARTITION BY source) AS n
+                  FROM t)
+            SELECT doc_id, source, quality FROM r
+            WHERE rk <= ceil(n * {PP_QUANTILE_KEEP})
+            ORDER BY doc_id""",
+        "ft_phrase": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text,
+                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS l
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                         generate_series(1, len(l) - {len(phrase_words) - 1}),
+                         i -> {phrase_pred})) AS BIGINT) AS n_occ
+              FROM toks)
+            SELECT doc_id, n_occ FROM hits WHERE n_occ > 0
             ORDER BY doc_id""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

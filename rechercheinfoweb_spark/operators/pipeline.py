@@ -166,3 +166,64 @@ def clean_corpus(docs: DataFrame, lang: str = "en",
     res = res.localCheckpoint()
     kept.unpersist()
     return res
+
+
+SAMPLE_HASH_MOD = 4_294_967_296  # 2^32: md5-prefix fraction resolution
+
+
+def sample_fraction_col(id_col: str = "doc_id") -> Column:
+    """Deterministic uniform-(0,1) fraction per id: the first 8 hex
+    chars of md5(id-as-string) scaled by 2^-32.
+
+    This is how a 100-TB pipeline samples: a pure map-side predicate
+    that is (a) reproducible across runs/engines — no RNG state, the
+    DuckDB oracle computes the identical value from the identical
+    bytes — and (b) stable under repartitioning, unlike
+    ``DataFrame.sample`` whose per-partition RNG changes with the
+    split layout."""
+    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                               1, 8), 16, 10).cast("long")
+            / F.lit(float(SAMPLE_HASH_MOD)))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      by: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic sampling (source-mix rebalancing:
+    down-weight crawl dumps, keep curated sources whole).
+
+    ``rates`` maps stratum value → keep fraction; strata absent from
+    the map are dropped.  Zero shuffles: the rate lookup is a small
+    literal map expression and the hash predicate is map-side, so
+    the sample composes with a parquet scan without moving data."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv])
+    rate = rate_map.getItem(F.col(by))
+    return (docs.where(rate.isNotNull()
+                       & (sample_fraction_col(id_col) < rate)))
+
+
+def quality_quantile_filter(docs: DataFrame, keep_frac: float,
+                            by: str = "source") -> DataFrame:
+    """Keep each stratum's top ``keep_frac`` docs by quality score
+    (quantile gating: an absolute quality threshold keeps different
+    volumes from every source; a per-stratum quantile keeps the mix).
+
+    Rank-based, tie-broken on doc_id, so the kept set is exactly
+    ``ceil(n_stratum * keep_frac)`` rows and deterministic — a
+    percentile-value cut would keep a nondeterministic superset on
+    score ties.  One shuffle (window partition by stratum).  At
+    100 TB swap the exact window for a per-stratum
+    ``percentile_approx(quality, 1-keep_frac)`` broadcast cut —
+    same gate, sketch-sized state — documented, not default, so the
+    oracle pins the exact semantics."""
+    toks = tokens_col()
+    scored = docs.withColumn("quality", _quality_col(toks))
+    w = Window.partitionBy(by).orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    n = Window.partitionBy(by)
+    return (scored
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(n))
+            .where(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
+            .drop("_rk", "_n"))

@@ -1,0 +1,349 @@
+"""Positional sidecar index + phrase queries.
+
+The reference engine has no phrase operator — its query splitter
+keeps only letters and digits (vector_query.go:14-16), so a quoted
+phrase cannot even be expressed — and layout v4 postings
+deliberately store no positions (weights are recomputed from
+(tf, dl) varints).  Phrase search at web scale needs positions
+*somewhere*: verifying phrases by re-fetching and re-tokenizing
+candidate documents is O(candidate text) per query, which for a
+two-hot-word phrase over a 10^12-doc corpus means reading terabytes
+of text.  The classic answer (Lucene's positional postings) is a
+positions plane keyed exactly like the postings.  This module
+builds it as an independent SIDECAR table so the v4 postings layout
+— and every byte pinned by its codec/resume tests — is untouched,
+and indexes that never serve phrase queries never pay for positions
+(they dominate any positional index: one varint per surviving token
+occurrence, i.e. roughly the token stream itself).
+
+Layout: parquet partitioned by ``bucket`` (same ``term_bucket``
+hash as the postings, so a phrase lookup prunes partitions
+identically) and ``salt`` (doc-id range shard, like the postings'
+chunk salt).  One row per (term, salt):
+
+* ``doc_bytes`` — doc ids, delta + varint (first absolute);
+* ``cnt_bytes`` — per-doc position counts, varint;
+* ``pos_bytes`` — per-doc positions, delta + varint (first of each
+  doc absolute), concatenated in doc order.
+
+Positions are indices into the RAW token stream (pre stopword /
+len<3 filter), so in engine-tokenizer mode a dropped stopword still
+advances the position counter: "state of the art" does NOT phrase-
+match "state art" even though "of"/"the" have no postings of their
+own — the same convention as Lucene's position-increment-on-removal.
+
+Scale shape: the build is one map pass over the corpus (positions
+delta+varint-encoded INSIDE the tokenize kernel, so the single wide
+exchange moves compact bytes, not int64 position lists) into a
+(bucket, salt)-grouped Arrow pack — the postings build's proven
+shape.  Query evaluation is per-salt (disjoint doc-id ranges), so
+position data never shuffles at query time; per-shard work is
+O(postings of the rarest-pruned phrase terms).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import codec
+from ..functions.tokenizer import (
+    STOPWORDS, make_index_token_mapper, raw_tokens,
+)
+from .index_build import term_bucket
+
+# SQL-portable tokenizer (textstats.SQL_TOKEN_SPLIT twin): phrase
+# semantics under this mode are expressible in ANSI SQL, which is
+# what the driver's DuckDB oracle checks.
+_SQL_SPLIT_RE = re.compile("[^a-zA-Z0-9]+")
+
+POSITIONS_META = "positions_meta.json"
+
+
+def _make_doc_tokenizer(tokenizer: str, stopwords: frozenset[str],
+                        stem: bool):
+    """text → (kept_terms: list[str], kept_positions: list[int]).
+
+    Positions index the raw token stream; in ``engine`` mode
+    filtered tokens consume a position but emit nothing."""
+    if tokenizer == "sql":
+        def fn(text: str):
+            toks = [t for t in _SQL_SPLIT_RE.split(text or "") if t]
+            return toks, range(len(toks))
+        return fn
+    if tokenizer != "engine":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    mapped = make_index_token_mapper(stopwords, stem)
+    memo: dict[str, str | None] = {}
+
+    def fn(text: str):
+        raws = raw_tokens(text or "")
+        terms, pos = [], []
+        for i, tok in enumerate(raws):
+            t = memo.get(tok, False)
+            if t is False:
+                r = mapped([tok])
+                t = memo[tok] = r[0] if r else None
+            if t is not None:
+                terms.append(t)
+                pos.append(i)
+        return terms, pos
+
+    return fn
+
+
+def _positions_kernel(tokenizer: str, stopwords: frozenset[str],
+                      stem: bool):
+    """mapInPandas kernel: (doc_id, text) → one row per (doc, term)
+    with that doc's positions already delta+varint packed.  Encoding
+    is ONE vectorized pass per input batch (`encode_varints_ex` over
+    the whole kept-position stream, sliced per group by byte
+    offsets), not a per-group encode."""
+
+    def fn(batches):
+        import pandas as pd
+        tok = _make_doc_tokenizer(tokenizer, stopwords, stem)
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"].tolist()
+            flat_terms: list[str] = []
+            flat_pos: list[int] = []
+            flat_doc: list[int] = []
+            for j, text in enumerate(texts):
+                terms, pos = tok(text)
+                flat_terms.extend(terms)
+                flat_pos.extend(pos)
+                flat_doc.extend([j] * len(terms))
+            if not flat_terms:
+                continue
+            terms_arr = np.asarray(flat_terms, dtype=object)
+            pos_arr = np.asarray(flat_pos, dtype=np.int64)
+            doc_arr = np.asarray(flat_doc, dtype=np.int64)
+            codes, uniques = pd.factorize(terms_arr, sort=False)
+            # stable doc-major, term-grouped, position-ascending:
+            # np.lexsort's last key is primary; positions are already
+            # ascending within (doc, term) because the scan is L→R
+            # and lexsort is stable on equal keys via the pos key
+            order = np.lexsort((pos_arr, codes, doc_arr))
+            d, c, p = doc_arr[order], codes[order], pos_arr[order]
+            grp = np.flatnonzero(
+                np.diff(d * len(uniques) + c, prepend=-1))
+            # delta-encode positions within groups (group-first stays
+            # absolute), one varint encode for the whole batch
+            deltas = np.empty_like(p)
+            deltas[1:] = p[1:] - p[:-1]
+            deltas[grp] = p[grp]
+            buf, ends = codec.encode_varints_ex(deltas)
+            grp_end = np.append(grp[1:], p.size)  # exclusive ends
+            byte_lo = np.where(grp == 0, 0, ends[grp - 1])
+            byte_hi = ends[grp_end - 1]
+            yield pd.DataFrame({
+                "term": uniques[c[grp]],
+                "doc_id": doc_ids[d[grp]],
+                "n_pos": (grp_end - grp).astype(np.int64),
+                "pos_bytes": [buf[lo:hi] for lo, hi in
+                              zip(byte_lo, byte_hi)],
+            })
+
+    return fn
+
+
+def _pack_kernel():
+    """applyInPandas kernel over one (bucket, salt) group → one row
+    per term: doc ids delta+varint, counts varint, position payloads
+    concatenated in doc order.  Term boundaries are numpy slices on
+    the sorted group (the postings pack's lesson: never one Python
+    round-trip per term)."""
+
+    def fn(key, pdf):
+        import pandas as pd
+        bucket, salt = int(key[0]), int(key[1])
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        codes, uniques = pd.factorize(terms, sort=True)
+        order = np.lexsort((doc_ids, codes))
+        c, d = codes[order], doc_ids[order]
+        n_pos = pdf["n_pos"].to_numpy()[order]
+        payloads = pdf["pos_bytes"].to_numpy()[order]
+        grp = np.flatnonzero(np.diff(c, prepend=-1))
+        grp_end = np.append(grp[1:], c.size)
+        out = {"term": [], "df_part": [], "doc_bytes": [],
+               "cnt_bytes": [], "pos_bytes": []}
+        for lo, hi in zip(grp, grp_end):
+            ids = d[lo:hi]
+            out["term"].append(uniques[c[lo]])
+            out["df_part"].append(hi - lo)
+            out["doc_bytes"].append(
+                codec.encode_varints(codec._deltas(ids)))
+            out["cnt_bytes"].append(
+                codec.encode_varints(n_pos[lo:hi].astype(np.uint64)))
+            out["pos_bytes"].append(b"".join(payloads[lo:hi]))
+        out["bucket"] = np.full(len(out["term"]), bucket, np.int32)
+        out["salt"] = np.full(len(out["term"]), salt, np.int32)
+        return pd.DataFrame(out)
+
+    return fn
+
+
+_PACK_SCHEMA = ("term string, df_part long, doc_bytes binary, "
+                "cnt_bytes binary, pos_bytes binary, bucket int, "
+                "salt int")
+
+
+def build_positions(spark: SparkSession, docs: DataFrame, out_dir: str,
+                    *, n_buckets: int = 16, n_salts: int = 8,
+                    tokenizer: str = "engine",
+                    stopwords: frozenset[str] = STOPWORDS,
+                    stem: bool = True) -> dict:
+    """Build the positional sidecar over (doc_id, text) rows.
+
+    ``salt = pmod(doc_id, n_salts)`` — deterministic from data, so
+    the layout is invariant to input partitioning (the same property
+    the postings get from doc-id-range chunks), and any doc-id-major
+    consumer can co-partition with it."""
+    rows = (docs.select("doc_id", "text")
+            .mapInPandas(_positions_kernel(tokenizer, stopwords, stem),
+                         schema=("term string, doc_id long, "
+                                 "n_pos long, pos_bytes binary"))
+            .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+            .withColumn("salt", F.pmod(F.col("doc_id"),
+                                       F.lit(n_salts)).cast("int")))
+    packed = (rows.groupBy("bucket", "salt")
+              .applyInPandas(_pack_kernel(), schema=_PACK_SCHEMA))
+    table = os.path.join(out_dir, "positions")
+    (packed.write.mode("overwrite")
+     .partitionBy("bucket", "salt").parquet(table))
+    meta = {"n_buckets": n_buckets, "n_salts": n_salts,
+            "tokenizer": tokenizer, "stem": stem}
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, POSITIONS_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, POSITIONS_META))
+    return meta
+
+
+def _decode_term_row(doc_bytes: bytes, cnt_bytes: bytes,
+                     pos_bytes: bytes, df: int):
+    """→ (doc_ids, counts, flat absolute positions, per-doc offsets)."""
+    ids = np.cumsum(codec.decode_varints(doc_bytes, df)[0]
+                    .astype(np.int64))
+    cnt = codec.decode_varints(cnt_bytes, df)[0].astype(np.int64)
+    total = int(cnt.sum())
+    deltas = codec.decode_varints(pos_bytes, total)[0].astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(cnt)))
+    cs = np.cumsum(deltas)
+    # doc-first positions are absolute; within a doc abs = cs - base
+    starts = offsets[:-1][cnt > 0]
+    firsts = deltas[starts]
+    base_per_doc = cs[starts] - firsts
+    base = np.repeat(base_per_doc, cnt[cnt > 0])
+    return ids, cnt, cs - base, offsets
+
+
+def _phrase_kernel(terms: list[str]):
+    """applyInPandas kernel over one salt shard's sidecar rows for
+    the phrase's distinct terms → (doc_id, n_occ).
+
+    Classic positional intersection: docs common to every term, then
+    cur = pos(t1); cur = (cur+1) ∩ pos(t_i) left to right; n_occ =
+    |cur| (overlap-aware: "a a a" has two occurrences of "a a")."""
+    order = list(terms)
+
+    def fn(pdf):
+        import pandas as pd
+        decoded: dict[str, tuple] = {}
+        for t, db, cb, pb, df in zip(pdf["term"], pdf["doc_bytes"],
+                                     pdf["cnt_bytes"], pdf["pos_bytes"],
+                                     pdf["df_part"]):
+            decoded[t] = _decode_term_row(bytes(db), bytes(cb),
+                                          bytes(pb), int(df))
+        empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                              "n_occ": np.zeros(0, np.int64)})
+        if any(t not in decoded for t in order):
+            return empty
+        # candidate docs: intersect sorted doc-id arrays, cheapest
+        # pruning first is unnecessary — intersect1d is linear-ish
+        common = decoded[order[0]][0]
+        for t in order[1:]:
+            common = np.intersect1d(common, decoded[t][0],
+                                    assume_unique=True)
+        if common.size == 0:
+            return empty
+        idx = {}
+        for t in set(order):
+            ids = decoded[t][0]
+            idx[t] = np.searchsorted(ids, common)
+        out_ids, out_n = [], []
+        for j, doc in enumerate(common):
+            cur = None
+            for t in order:
+                ids, cnt, pos, off = decoded[t]
+                i = int(idx[t][j])
+                p = pos[off[i]:off[i + 1]]
+                cur = p if cur is None else np.intersect1d(
+                    cur + 1, p, assume_unique=True)
+                if cur.size == 0:
+                    break
+            if cur is not None and cur.size:
+                out_ids.append(int(doc))
+                out_n.append(int(cur.size))
+        return pd.DataFrame({"doc_id": np.asarray(out_ids, np.int64),
+                             "n_occ": np.asarray(out_n, np.int64)})
+
+    return fn
+
+
+def read_positions_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, POSITIONS_META)) as f:
+        return json.load(f)
+
+
+def phrase_terms(phrase: str, meta: dict,
+                 stopwords: frozenset[str] = STOPWORDS) -> list | None:
+    """Phrase words → sidecar terms, preserving order/duplicates.
+
+    Engine mode: a phrase containing a filtered word (stopword /
+    len<3) has no positional witness in the index — return None
+    ("cannot match", by the strict-positions convention above)."""
+    if meta["tokenizer"] == "sql":
+        return [t for t in _SQL_SPLIT_RE.split(phrase or "") if t]
+    mapped = make_index_token_mapper(stopwords, meta.get("stem", True))
+    out = []
+    for w in raw_tokens(phrase or ""):
+        r = mapped([w])
+        if not r:
+            return None
+        out.append(r[0])
+    return out
+
+
+def phrase_search(spark: SparkSession, out_dir: str, phrase: str,
+                  stopwords: frozenset[str] = STOPWORDS) -> DataFrame:
+    """Exact phrase retrieval from the positional sidecar alone —
+    no document text is read.  Returns (doc_id, n_occ) ordered by
+    doc_id; n_occ counts overlap-aware phrase occurrences."""
+    meta = read_positions_meta(out_dir)
+    terms = phrase_terms(phrase, meta, stopwords)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, n_occ long")
+    distinct = sorted(set(terms))
+    buckets = sorted({_bucket_of(t, meta["n_buckets"])
+                      for t in distinct})
+    table = os.path.join(out_dir, "positions")
+    rows = (spark.read.option("basePath", table).parquet(table)
+            .where(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(distinct)))
+    res = (rows.groupBy("salt")
+           .applyInPandas(_phrase_kernel(terms),
+                          schema="doc_id long, n_occ long"))
+    return res.orderBy("doc_id")
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    from ..functions.xxhash import spark_term_bucket
+    return spark_term_bucket(term, n_buckets)

@@ -235,3 +235,58 @@ def test_clean_corpus_all_filtered(spark):
         [(1, "der und das nicht ist"), (2, "el que de en es")],
         "doc_id long, text string")
     assert pipeline.clean_corpus(docs, lang="en").collect() == []
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = pipeline.stratified_sample(docs, rates)
+    rows = sorted(r["doc_id"] for r in kept.collect())
+    # partitioning-invariant: the hash predicate is per-row, so the
+    # sample is identical at any split layout (unlike df.sample)
+    rows2 = sorted(r["doc_id"] for r in pipeline.stratified_sample(
+        docs.repartition(13), rates).collect())
+    assert rows == rows2
+    per_src = {r["source"]: r["n"] for r in kept.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+    n0 = docs.where(F.col("source") == "src0").count()
+    assert per_src.get("src0") == n0          # rate 1.0 keeps all
+    assert "src2" not in per_src              # rate 0.0 keeps none
+    assert set(per_src) <= {"src0", "src1"}   # unlisted sources drop
+    # rate 0.5 keeps a binomial-plausible share
+    n1 = docs.where(F.col("source") == "src1").count()
+    k1 = per_src.get("src1", 0)
+    sd = math.sqrt(n1 * 0.25)
+    assert abs(k1 - 0.5 * n1) <= 4 * sd + 1
+
+
+def test_quality_quantile_filter_exact_counts(spark):
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    frac = 0.3
+    kept = pipeline.quality_quantile_filter(docs, frac)
+    n_in = {r["source"]: r["n"] for r in docs.groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    n_out = {r["source"]: r["n"] for r in kept.groupBy("source")
+             .agg(F.count("*").alias("n")).collect()}
+    import math
+    for src, n in n_in.items():
+        assert n_out.get(src, 0) == math.ceil(n * frac), src
+    # kept docs dominate dropped docs on quality within each source
+    scored = pipeline.quality_quantile_filter(docs, frac).select(
+        "source", "quality")
+    worst_kept = {r["source"]: r["q"] for r in scored.groupBy("source")
+                  .agg(F.min("quality").alias("q")).collect()}
+    all_scored = docs.withColumn(
+        "quality", pipeline._quality_col(textstats.tokens_col()))
+    dropped = all_scored.join(
+        pipeline.quality_quantile_filter(docs, frac).select("doc_id"),
+        "doc_id", "left_anti")
+    for r in (dropped.groupBy("source")
+              .agg(F.max("quality").alias("q")).collect()):
+        assert r["q"] <= worst_kept[r["source"]], r["source"]
