@@ -250,6 +250,30 @@ def main() -> None:
                        ).collect()
         boolean_search(spark, reader, "index OR postings merge").collect()
 
+    # ---- positional sidecar + phrase retrieval --------------------
+    # build over the SAME deterministic doc ids as the postings
+    # (assign_doc_ids is the index's stage-0 id assignment), so the
+    # sidecar composes with the main index; one map pass + one
+    # (bucket, salt) pack shuffle, positions varint-packed inside the
+    # tokenize kernel so the exchange moves compact bytes
+    from rechercheinfoweb_spark.operators.positions import (
+        build_positions, phrase_search,
+    )
+    from rechercheinfoweb_spark.sources.web_pages import assign_doc_ids
+    pos_dir = f"{work}/positions"
+    pos_docs = assign_doc_ids(
+        synthetic_web_pages(spark, n_corpus)).select("doc_id", "text")
+    with timed("positions_build"):
+        build_positions(spark, pos_docs, pos_dir, n_buckets=32,
+                        n_salts=n_chunks, tokenizer="engine")
+    extra["positions_bytes"] = _du(f"{pos_dir}/positions")
+    extra["positions_to_text_ratio"] = round(
+        extra["positions_bytes"] / extra["corpus_text_bytes"], 4)
+    phrase_search(spark, pos_dir, "webpage content").collect()  # warm
+    with timed("phrase_query"):
+        extra["phrase_hits"] = phrase_search(
+            spark, pos_dir, "search engine").count()
+
     # ---- chunk compaction (LSM segment merge) ---------------------
     # merge the build's 8 chunks to ~2: pure block-list concatenation
     # (no varint re-encode), then the same 3 BM25 queries against the

@@ -286,30 +286,39 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     ``max_rounds`` as a safety rail.
 
     Scale shape per round: one shuffle for the neighbor-min groupBy
-    + one self-join on the (small) label table.  Each round's label
-    table is persisted and the PREVIOUS round's is unpersisted once
-    the convergence count has consumed it, so executor storage holds
-    at most two label tables at any time; lineage is truncated with
-    a localCheckpoint every 8 rounds (real convergence takes 2-4) so
-    the plan cannot grow unboundedly either.  The convergence check
-    is a single count() on changed labels.  At 10^12 docs the label
-    table is |nodes in any pair| rows — orders of magnitude below
-    corpus size, since only near-dup members appear in pairs.
+    + one self-join on the (small) label table.  Lineage is truncated
+    with ``localCheckpoint`` at BOTH loop inputs and after EVERY
+    round — the classic iterative-on-Spark lesson (GraphX/Pregel do
+    the same): ``persist`` caches *data* but not the *plan*, every
+    action re-analyzes the full logical tree, the tree references the
+    label table three times per round (3× growth), and the label
+    table itself sits on the pair-producing lineage (simhash kernels,
+    quality expressions — thousands of expression nodes).  Measured
+    on a 176-node graph whose pairs came from the real cleaning
+    pipeline: persist-only rounds cost 17 s → 80 s → minutes
+    (analysis + cache-lookup, not compute), checkpoint-every-round
+    holds each round at ~2 s flat.  The convergence check is a
+    single count() on changed labels.  At 10^12 docs the label table
+    is |nodes in any pair| rows — orders of magnitude below corpus
+    size, since only near-dup members appear in pairs; on a real
+    cluster swap ``localCheckpoint`` for ``checkpoint()`` with a
+    checkpoint dir to add fault tolerance at the same plan-size
+    cost.  Checkpoint blocks of superseded rounds are reclaimed by
+    the context cleaner (tiny tables; the deterministic-release
+    discipline used elsewhere applies to corpus-sized caches).
 
     Returns one row per doc that appears in ``pairs`` (doc_id,
     canonical); docs in no pair are their own canonical and are
-    omitted — join back with a left join + coalesce.  The returned
-    DataFrame is the final (persisted) label table — small, and
-    reclaimed by the context cleaner when the caller drops it."""
+    omitted — join back with a left join + coalesce."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
-    edges = edges.distinct().persist()
+    edges = edges.distinct().localCheckpoint()
     labels = (edges.groupBy("src").agg(F.min("dst").alias("nbr_min"))
               .select(F.col("src").alias("doc_id"),
                       F.least("src", "nbr_min").alias("label"))
-              .persist())
+              .localCheckpoint())
     for rnd in range(max_rounds):
         # neighbor min: min label over adjacent nodes
         nbr = (edges.join(labels.withColumnRenamed("doc_id", "dst"),
@@ -328,16 +337,16 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                                F.coalesce("jump_label", F.col("label")),
                                F.coalesce("nbr_label", F.col("label")))
                        .alias("label")))
-        new = (new.localCheckpoint() if (rnd + 1) % 8 == 0
-               else new.persist())
+        # truncate EVERY round: an eager localCheckpoint materializes
+        # the round and replaces its plan with a LogicalRDD leaf, so
+        # round r+1 analyzes a constant-size tree
+        new = new.localCheckpoint()
         changed = (new.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .where(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()  # `changed` materialized `new`; old round done
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical"))
 
 
