@@ -103,19 +103,43 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     spark = get_spark(app_name="riw-bench", master=f"local[{cpus}]",
                       extra_conf={
-                          "spark.local.dir": f"{work}/spark_local"})
+                          "spark.local.dir": f"{work}/spark_local",
+                          # shuffle files/RDD blocks are deleted by
+                          # ContextCleaner only after a DRIVER GC
+                          # notices the dead references; a 40g+ heap
+                          # never full-GCs during a 15-min bench, so
+                          # every section's shuffle files pile up in
+                          # RAM-backed tmpfs (default periodicGC is
+                          # 30 MINUTES).  On this memory-throttled
+                          # host that starved late sections 4-7x
+                          # (quality_score 7.8s fresh vs 50.9s late).
+                          "spark.cleaner.periodicGC.interval": "45s"})
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extra: dict[str, object] = {"cpus": int(cpus)}
+    shm_mb: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": int(cpus), "shm_mb": shm_mb}
     extra.update(host_canary())
+
+    def _shm_used_mb() -> float:
+        du = shutil.disk_usage("/dev/shm")
+        return round((du.total - du.free) / 1e6, 0)
 
     def timed(name):
         class _T:
             def __enter__(self):
+                # release the PREVIOUS section's dead shuffle files /
+                # cached blocks before the clock starts: python GC
+                # drops py4j refs, JVM GC lets ContextCleaner delete
+                # the files (a real cluster pays this on node-local
+                # disks, not RAM; long-lived executors GC naturally)
+                import gc
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
                 self.t = time.time(); return self
             def __exit__(self, *a):
                 timings[name] = round(time.time() - self.t, 3)
+                shm_mb[name] = _shm_used_mb()
         return _T()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -54,7 +54,7 @@ from ..functions import codec
 from ..functions.tokenizer import (
     STOPWORDS, make_index_token_mapper, raw_tokens,
 )
-from .index_build import term_bucket
+from .index_build import _KERNEL_DOC_SLICE, term_bucket
 
 # SQL-portable tokenizer (textstats.SQL_TOKEN_SPLIT twin): phrase
 # semantics under this mode are expressible in ANSI SQL, which is
@@ -64,90 +64,113 @@ _SQL_SPLIT_RE = re.compile("[^a-zA-Z0-9]+")
 POSITIONS_META = "positions_meta.json"
 
 
-def _make_doc_tokenizer(tokenizer: str, stopwords: frozenset[str],
-                        stem: bool):
-    """text → (kept_terms: list[str], kept_positions: list[int]).
-
-    Positions index the raw token stream; in ``engine`` mode
-    filtered tokens consume a position but emit nothing."""
-    if tokenizer == "sql":
-        def fn(text: str):
-            toks = [t for t in _SQL_SPLIT_RE.split(text or "") if t]
-            return toks, range(len(toks))
-        return fn
-    if tokenizer != "engine":
-        raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    mapped = make_index_token_mapper(stopwords, stem)
-    memo: dict[str, str | None] = {}
-
-    def fn(text: str):
-        raws = raw_tokens(text or "")
-        terms, pos = [], []
-        for i, tok in enumerate(raws):
-            t = memo.get(tok, False)
-            if t is False:
-                r = mapped([tok])
-                t = memo[tok] = r[0] if r else None
-            if t is not None:
-                terms.append(t)
-                pos.append(i)
-        return terms, pos
-
-    return fn
-
-
 def _positions_kernel(tokenizer: str, stopwords: frozenset[str],
                       stem: bool):
     """mapInPandas kernel: (doc_id, text) → one row per (doc, term)
-    with that doc's positions already delta+varint packed.  Encoding
-    is ONE vectorized pass per input batch (`encode_varints_ex` over
-    the whole kept-position stream, sliced per group by byte
-    offsets), not a per-group encode."""
+    with that doc's positions already delta+varint packed.
+
+    Vectorized like the postings build's tokenize kernel
+    (index_build._batch_token_stats): per doc-slice, the split is one
+    C pass per doc, term resolution is ONE factorize over the flat
+    raw-token stream with the Python stop/len/stem chain run only per
+    UNIQUE raw token (worker-lifetime memo, Zipf hit rate ~100%), raw
+    positions fall out of arange arithmetic, and the varint encode is
+    ONE `encode_varints_ex` over the slice's whole kept-position
+    stream, sliced per (doc, term) group by byte offsets.  Replaces a
+    per-doc/per-token Python loop that ran ~5x slower at sf0.1."""
+    if tokenizer == "engine":
+        mapped = make_index_token_mapper(stopwords, stem)
+
+        def split(text):
+            return raw_tokens(text or "")
+
+        def map_one(tok):
+            r = mapped([tok])
+            return r[0] if r else None
+    elif tokenizer == "sql":
+        def split(text):
+            return [t for t in _SQL_SPLIT_RE.split(text or "") if t]
+
+        map_one = None  # identity: every raw token is kept as-is
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+    def _slice(doc_ids, texts):
+        import pandas as pd
+        raws = [split(t) for t in texts]
+        ndocs = len(raws)
+        n_raw = np.fromiter((len(r) for r in raws), np.int64, ndocs)
+        flat: list = []
+        for r in raws:
+            flat.extend(r)
+        if not flat:
+            return None
+        doc_arr = np.repeat(np.arange(ndocs, dtype=np.int64), n_raw)
+        starts = np.concatenate(([0], np.cumsum(n_raw)[:-1]))
+        pos_arr = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(starts, n_raw))
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                      sort=False)
+        if map_one is None:
+            final = uniques if isinstance(uniques, np.ndarray) \
+                else uniques.to_numpy()
+            tcode = codes.astype(np.int64)
+        else:
+            final_terms: list[str] = []
+            fmap: dict[str, int] = {}
+            lut = np.empty(len(uniques), dtype=np.int64)
+            for i, tok in enumerate(uniques.tolist()):
+                term = map_one(tok)
+                if term is None:
+                    lut[i] = -1
+                    continue
+                j = fmap.get(term)
+                if j is None:
+                    j = fmap[term] = len(final_terms)
+                    final_terms.append(term)
+                lut[i] = j
+            if not final_terms:
+                return None
+            final = np.asarray(final_terms, dtype=object)
+            tcode = lut[codes]
+            keep = tcode >= 0
+            if not keep.all():
+                doc_arr, tcode, pos_arr = (doc_arr[keep], tcode[keep],
+                                           pos_arr[keep])
+            if doc_arr.size == 0:
+                return None
+        # stable doc-major, term-grouped, position-ascending:
+        # np.lexsort's last key is primary; positions are already
+        # ascending within (doc, term) because the scan is L→R
+        order = np.lexsort((pos_arr, tcode, doc_arr))
+        d, c, p = doc_arr[order], tcode[order], pos_arr[order]
+        grp = np.flatnonzero(np.diff(d * len(final) + c, prepend=-1))
+        # delta-encode positions within groups (group-first stays
+        # absolute), one varint encode for the whole slice
+        deltas = np.empty_like(p)
+        deltas[1:] = p[1:] - p[:-1]
+        deltas[grp] = p[grp]
+        buf, ends = codec.encode_varints_ex(deltas)
+        grp_end = np.append(grp[1:], p.size)  # exclusive ends
+        byte_lo = np.where(grp == 0, 0, ends[grp - 1])
+        byte_hi = ends[grp_end - 1]
+        return pd.DataFrame({
+            "term": final[c[grp]],
+            "doc_id": doc_ids[d[grp]],
+            "n_pos": (grp_end - grp).astype(np.int64),
+            "pos_bytes": [buf[lo:hi] for lo, hi in
+                          zip(byte_lo, byte_hi)],
+        })
 
     def fn(batches):
-        import pandas as pd
-        tok = _make_doc_tokenizer(tokenizer, stopwords, stem)
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy()
             texts = pdf["text"].tolist()
-            flat_terms: list[str] = []
-            flat_pos: list[int] = []
-            flat_doc: list[int] = []
-            for j, text in enumerate(texts):
-                terms, pos = tok(text)
-                flat_terms.extend(terms)
-                flat_pos.extend(pos)
-                flat_doc.extend([j] * len(terms))
-            if not flat_terms:
-                continue
-            terms_arr = np.asarray(flat_terms, dtype=object)
-            pos_arr = np.asarray(flat_pos, dtype=np.int64)
-            doc_arr = np.asarray(flat_doc, dtype=np.int64)
-            codes, uniques = pd.factorize(terms_arr, sort=False)
-            # stable doc-major, term-grouped, position-ascending:
-            # np.lexsort's last key is primary; positions are already
-            # ascending within (doc, term) because the scan is L→R
-            # and lexsort is stable on equal keys via the pos key
-            order = np.lexsort((pos_arr, codes, doc_arr))
-            d, c, p = doc_arr[order], codes[order], pos_arr[order]
-            grp = np.flatnonzero(
-                np.diff(d * len(uniques) + c, prepend=-1))
-            # delta-encode positions within groups (group-first stays
-            # absolute), one varint encode for the whole batch
-            deltas = np.empty_like(p)
-            deltas[1:] = p[1:] - p[:-1]
-            deltas[grp] = p[grp]
-            buf, ends = codec.encode_varints_ex(deltas)
-            grp_end = np.append(grp[1:], p.size)  # exclusive ends
-            byte_lo = np.where(grp == 0, 0, ends[grp - 1])
-            byte_hi = ends[grp_end - 1]
-            yield pd.DataFrame({
-                "term": uniques[c[grp]],
-                "doc_id": doc_ids[d[grp]],
-                "n_pos": (grp_end - grp).astype(np.int64),
-                "pos_bytes": [buf[lo:hi] for lo, hi in
-                              zip(byte_lo, byte_hi)],
-            })
+            for lo in range(0, len(texts), _KERNEL_DOC_SLICE):
+                out = _slice(doc_ids[lo:lo + _KERNEL_DOC_SLICE],
+                             texts[lo:lo + _KERNEL_DOC_SLICE])
+                if out is not None:
+                    yield out
 
     return fn
 
