@@ -190,24 +190,46 @@ def _pack_kernel():
         codes, uniques = pd.factorize(terms, sort=True)
         order = np.lexsort((doc_ids, codes))
         c, d = codes[order], doc_ids[order]
-        n_pos = pdf["n_pos"].to_numpy()[order]
+        n_pos = pdf["n_pos"].to_numpy()[order].astype(np.int64)
         payloads = pdf["pos_bytes"].to_numpy()[order]
         grp = np.flatnonzero(np.diff(c, prepend=-1))
         grp_end = np.append(grp[1:], c.size)
-        out = {"term": [], "df_part": [], "doc_bytes": [],
-               "cnt_bytes": [], "pos_bytes": []}
-        for lo, hi in zip(grp, grp_end):
-            ids = d[lo:hi]
-            out["term"].append(uniques[c[lo]])
-            out["df_part"].append(hi - lo)
-            out["doc_bytes"].append(
-                codec.encode_varints(codec._deltas(ids)))
-            out["cnt_bytes"].append(
-                codec.encode_varints(n_pos[lo:hi].astype(np.uint64)))
-            out["pos_bytes"].append(b"".join(payloads[lo:hi]))
-        out["bucket"] = np.full(len(out["term"]), bucket, np.int32)
-        out["salt"] = np.full(len(out["term"]), salt, np.int32)
-        return pd.DataFrame(out)
+        # doc ids: delta within term (term-first absolute), ONE
+        # varint encode for the whole group, sliced by byte offsets
+        # (the postings pack's lesson: never one encode per term)
+        dd = np.empty_like(d)
+        dd[1:] = d[1:] - d[:-1]
+        dd[grp] = d[grp]
+        doc_buf, doc_ends = codec.encode_varints_ex(dd)
+        doc_lo = np.where(grp == 0, 0, doc_ends[grp - 1])
+        doc_hi = doc_ends[grp_end - 1]
+        cnt_buf, cnt_ends = codec.encode_varints_ex(n_pos)
+        cnt_lo = np.where(grp == 0, 0, cnt_ends[grp - 1])
+        cnt_hi = cnt_ends[grp_end - 1]
+        # position payloads are already per-(doc, term) varint bytes;
+        # concatenating per term is pure memcpy via one flat buffer
+        sizes = np.fromiter((len(b) for b in payloads), np.int64,
+                            payloads.size)
+        flat = np.empty(int(sizes.sum()), dtype=np.uint8)
+        pos_ends = np.cumsum(sizes)
+        off = 0
+        for b in payloads:
+            flat[off:off + len(b)] = np.frombuffer(b, dtype=np.uint8)
+            off += len(b)
+        pos_lo = np.where(grp == 0, 0, pos_ends[grp - 1])
+        pos_hi = pos_ends[grp_end - 1]
+        return pd.DataFrame({
+            "term": uniques[c[grp]],
+            "df_part": (grp_end - grp).astype(np.int64),
+            "doc_bytes": [doc_buf[lo:hi] for lo, hi in
+                          zip(doc_lo, doc_hi)],
+            "cnt_bytes": [cnt_buf[lo:hi] for lo, hi in
+                          zip(cnt_lo, cnt_hi)],
+            "pos_bytes": [flat[lo:hi].tobytes() for lo, hi in
+                          zip(pos_lo, pos_hi)],
+            "bucket": np.full(grp.size, bucket, np.int32),
+            "salt": np.full(grp.size, salt, np.int32),
+        })
 
     return fn
 
