@@ -104,6 +104,12 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
         # unevenly between the N and 4N legs.
         jvm_cpus = (f"-XX:ActiveProcessorCount={exec_cores} "
                     f"-XX:+AlwaysPreTouch {jvm_xms}")
+        # the DRIVER JVM has its own (smaller) heap — session.py sets
+        # 8g in local-cluster mode — so it must NOT inherit the
+        # executor's -Xms (Xms > driver Xmx fails VM init for any
+        # exec_cores >= 3); pin its Xms to its own Xmx instead
+        driver_jvm = (f"-XX:ActiveProcessorCount={exec_cores} "
+                      f"-XX:+AlwaysPreTouch -Xms8g")
         spark = get_spark(
             app_name=f"riw-scaling-{executors}x{exec_cores}",
             master=f"local-cluster[{executors},{exec_cores},"
@@ -112,7 +118,7 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
             extra_conf={"spark.executorEnv.PYTHONPATH": zip_path,
                         "spark.executor.memory": f"{exec_mem_mb}m",
                         "spark.executor.extraJavaOptions": jvm_cpus,
-                        "spark.driver.extraJavaOptions": jvm_cpus,
+                        "spark.driver.extraJavaOptions": driver_jvm,
                         # BLAS/OpenMP in the Python kernels must not
                         # size thread pools for 32 CPUs either
                         "spark.executorEnv.OMP_NUM_THREADS": "1",
