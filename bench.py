@@ -168,10 +168,24 @@ def main() -> None:
     # amortize orchestration, not dominate it
     n_chunks = min(8, max(2, n_corpus // 5000))
     extra["n_chunks"] = n_chunks
+    # best-of-2 (scaling_run's --repeats practice): single-run wall
+    # times on this host swing 2-3x on hypervisor noise (BASELINE.md
+    # round-3 addendum) and this is THE baseline throughput metric.
+    # Run 1 measured first into a scratch dir; the timed run below
+    # produces the index every later section queries.
+    shutil.rmtree(f"{out}_warm", ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, f"{out}_warm", n_chunks=n_chunks,
+                n_buckets=32)
+    build_1 = time.time() - t0
+    shutil.rmtree(f"{out}_warm", ignore_errors=True)
     with timed("index_build"):
         res = build_index(spark, pages, out, n_chunks=n_chunks,
                           n_buckets=32)
     pages.unpersist()
+    extra["index_build_run1"] = round(build_1, 3)
+    timings["index_build"] = min(timings["index_build"],
+                                 round(build_1, 3))
     extra["build_docs_per_sec"] = round(res.n_docs / timings["index_build"], 1)
     # layout v4: a refresh (re-finalize after appended chunks) is
     # metadata-only — dictionary + corpus_stats, no posting bytes
