@@ -353,6 +353,28 @@ PP_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 PP_QUANTILE_KEEP = 0.4
 PHRASE_QUERY = "data query"  # 22 phrase-matching docs at sf0.01
 
+# Deterministic messy crawl-variant URLs for the URL-dedup contract
+# query — the documents table has no url column, so both engines
+# synthesize the SAME urls from (doc_id, source); the query under
+# test is the canonicalization, not the synthesis.  Variants 0 and 1
+# canonicalize identically (case/port/www/tracking-param/param-order
+# /trailing-slash differences); 4 collides per source (fragmentless
+# empty path + dropped click id); 2 (http) and 3 stay distinct.
+# The variant key uses integer division (doc_id {div} 20) so it
+# DECORRELATES from source = f(doc_id % 20) — every source sees
+# every variant; div spells DIV in Spark and // in DuckDB.
+_URL_SYNTH_SQL_T = """CASE CAST((doc_id {div} 20) % 5 AS INT)
+  WHEN 0 THEN 'https://WWW.' || source
+       || '.example.com:443/a/b/?utm_source=feed&z=2&a=1#frag'
+  WHEN 1 THEN 'https://' || source || '.example.com/a/b?a=1&z=2'
+  WHEN 2 THEN 'HTTP://www.' || source || '.example.com:80/a/b'
+  WHEN 3 THEN 'https://' || source || '.example.com/a/b/c'
+  ELSE 'https://' || source || '.example.com/?fbclid='
+       || CAST(doc_id AS STRING)
+END"""
+URL_SYNTH_SQL = _URL_SYNTH_SQL_T.format(div="DIV")
+URL_SYNTH_SQL_DUCK = _URL_SYNTH_SQL_T.format(div="//")
+
 
 def _q_sample(spark, sf_dir):
     """Deterministic per-source hash sampling
@@ -372,6 +394,21 @@ def _q_quality_quantile(spark, sf_dir):
     return (pipeline.quality_quantile_filter(
         _docs(spark, sf_dir), PP_QUANTILE_KEEP)
         .select("doc_id", "source", "quality").orderBy("doc_id"))
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + url-level dedup
+    (pipeline.canonical_url_col / url_dedup): stage 0 of a crawl
+    pipeline — variants of one resource collide on the canonical
+    form before any text is read.  Pure column expression (JVM
+    regexp/array built-ins), one shuffle on the canonical key."""
+    d = _docs(spark, sf_dir).withColumn("url", F.expr(URL_SYNTH_SQL))
+    return (d.withColumn("canonical_url",
+                         pipeline.canonical_url_col("url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .orderBy("canonical_url"))
 
 
 def _q_phrase(spark, sf_dir):
@@ -916,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_clean": _q_pipeline_clean,
         "pp_sample": _q_sample,
         "pp_quality_quantile": _q_quality_quantile,
+        "pp_url_dedup": _q_url_dedup,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1416,6 +1454,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r
             WHERE rk <= ceil(n * {PP_QUANTILE_KEEP})
             ORDER BY doc_id""",
+        "pp_url_dedup": f"""
+            WITH raw AS (SELECT doc_id, {URL_SYNTH_SQL_DUCK} AS url
+                         FROM documents),
+            p1 AS (SELECT doc_id,
+                          regexp_replace(trim(url), '#.*$', '')
+                              AS nofrag
+                   FROM raw),
+            p2 AS (SELECT doc_id,
+                lower(regexp_extract(nofrag,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(lower(regexp_extract(nofrag,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^www\\.', '') AS host0,
+                regexp_extract(nofrag,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+                    AS rest
+              FROM p1),
+            p3 AS (SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(host0, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(host0, ':443$', '')
+                     ELSE host0 END AS host,
+                CASE WHEN regexp_replace(regexp_extract(rest,
+                         '^([^?]*)', 1), '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(regexp_extract(rest,
+                         '^([^?]*)', 1), '/+$', '') END AS path,
+                -- array_to_string([]) is NULL in DuckDB (Spark's
+                -- array_join([]) is '') — coalesce to match
+                coalesce(array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(rest,
+                        '\\?(.*)$', 1), '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid'
+                        || '|mc_eid)='))), '&'), '') AS q
+              FROM p2)
+            SELECT scheme || '://' || host || path
+                   || CASE WHEN q = '' THEN ''
+                           ELSE '?' || q END AS canonical_url,
+                   count(*) AS n_variants,
+                   min(doc_id) AS min_doc_id
+            FROM p3 GROUP BY 1
+            ORDER BY canonical_url""",
         "ft_phrase": f"""
             WITH toks AS (
               SELECT doc_id,

@@ -227,3 +227,76 @@ def quality_quantile_filter(docs: DataFrame, keep_frac: float,
             .withColumn("_n", F.count("*").over(n))
             .where(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
             .drop("_rk", "_n"))
+
+
+# -------------------------------------------------- URL canonicalization
+
+# Query params that identify a click, not a resource: any two crawls
+# of the same page differ in these, so URL-level dedup (stage 0 of
+# every Common-Crawl pipeline — cheaper than any content hash because
+# it needs no text read at all) must drop them.  utm_* is the GA
+# convention; the rest are the big ad/mail platforms' click ids.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=")
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+
+def canonical_url_col(col: str = "url") -> Column:
+    """Canonical form of an absolute http(s) URL, as a pure
+    column expression (JVM built-ins end to end — composes with a
+    parquet scan, zero shuffles, whole-stage codegen):
+
+    * fragment stripped (``#...`` never reaches the server);
+    * scheme + host lowercased (RFC 3986 §6.2.2.1), path/query
+      case preserved;
+    * leading ``www.`` and scheme-default ports (``:80``/``:443``)
+      dropped;
+    * tracking params (TRACKING_PARAM_RE) removed, remaining params
+      BYTE-SORTED so ``?a=1&z=2`` and ``?z=2&a=1`` collide;
+    * trailing path slashes collapsed, empty path → ``/``.
+
+    Non-absolute inputs (no ``scheme://``) pass through trimmed —
+    a cleaning stage must never invent structure.
+    """
+    u = F.trim(F.col(col))
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(nofrag, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    rest = F.regexp_extract(nofrag, _REST_RE, 1)
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1),
+                            "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Drop crawl-variant rows of the same resource: one survivor
+    per canonical URL (min original url — deterministic, engine-
+    independent).  One shuffle on the canonical key, before any
+    text-reading stage — at crawl scale this is the cheapest dedup
+    gate there is (the key is ~100 bytes of URL; content hashing
+    reads the corpus).  Skewed canonical keys cannot arise: a
+    canonical URL's group size is its crawl-variant count, bounded
+    by recrawl frequency, not corpus size."""
+    w = Window.partitionBy("canonical_url").orderBy(url_col)
+    return (pages
+            .withColumn("canonical_url", canonical_url_col(url_col))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk"))

@@ -290,3 +290,57 @@ def test_quality_quantile_filter_exact_counts(spark):
     for r in (dropped.groupBy("source")
               .agg(F.max("quality").alias("q")).collect()):
         assert r["q"] <= worst_kept[r["source"]], r["source"]
+
+
+# ------------------------------------------------ URL canonicalization
+
+URL_CASES = [
+    # (input, canonical)
+    ("https://WWW.Ex.COM:443/a/b/?utm_source=f&z=2&a=1#frag",
+     "https://ex.com/a/b?a=1&z=2"),
+    ("https://ex.com/a/b?z=2&a=1",           # param order collides
+     "https://ex.com/a/b?a=1&z=2"),
+    ("HTTP://www.ex.com:80/a/b",             # scheme case + port
+     "http://ex.com/a/b"),
+    ("http://ex.com:8080/a",                 # non-default port kept
+     "http://ex.com:8080/a"),
+    ("https://ex.com/?fbclid=abc123",        # click id + empty path
+     "https://ex.com/"),
+    ("https://ex.com",                       # no path at all
+     "https://ex.com/"),
+    ("https://ex.com/a//",                   # trailing slash run
+     "https://ex.com/a"),
+    ("https://ex.com/A/B?Q=1",               # path/query case KEPT
+     "https://ex.com/A/B?Q=1"),
+    ("not-a-url",                            # non-absolute: pass-through
+     "not-a-url"),
+    ("https://ex.com/a?utm_source=x&utm_medium=y",  # all params tracking
+     "https://ex.com/a"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", pipeline.canonical_url_col("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_keeps_min_url_per_canonical(spark):
+    rows = [
+        (0, "https://WWW.Ex.COM:443/a/b/?utm_source=f&z=2&a=1"),
+        (1, "https://ex.com/a/b?z=2&a=1"),   # same canonical as 0
+        (2, "https://ex.com/other"),
+        (3, "https://ex.com/a/b?a=1&z=2"),   # same canonical again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = pipeline.url_dedup(df).orderBy("doc_id").collect()
+    # survivor per canonical = min url string; 2 groups survive
+    assert len(out) == 2
+    kept = {r["canonical_url"]: r["url"] for r in out}
+    assert kept["https://ex.com/a/b?a=1&z=2"] == min(
+        rows[0][1], rows[1][1], rows[3][1])
+    assert kept["https://ex.com/other"] == "https://ex.com/other"
