@@ -35,18 +35,39 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 OUT = "/tmp/canary_gated_pairs.jsonl"
 
 
 def canary() -> dict:
     from bench import host_canary
-    return host_canary()
+    c = host_canary()
+    c.update(fault_scaling())
+    return c
+
+
+def fault_scaling() -> dict:
+    """Aggregate-vs-single fault-service scaling, the probe the
+    single-thread canary misses: round-3 attempt 1 ran inside the
+    best single-thread window ever recorded (1784 MB/s / 1457
+    ktok/s) and the 4-core leg STILL measured slower than the
+    1-core leg — the hypervisor served one thread's faults at full
+    speed while capping the aggregate.  A 1-vs-4 executor pair is
+    only measurable when 4 workers' fault demand actually gets ~4x
+    one worker's service."""
+    import fault_ceiling_probe as fp
+    fp.SECONDS = 2.5
+    one = fp.measure(1)["agg_mb_s"]
+    four = fp.measure(4)["agg_mb_s"]
+    return {"fault_agg1_mb_s": one, "fault_agg4_mb_s": four,
+            "fault_scale4": round(four / max(one, 1e-9), 2)}
 
 
 def healthy(c: dict, args) -> bool:
     return (c["host_first_touch_mb_s"] >= args.min_fault_mb_s
-            and c["host_tokenize_ktok_s"] >= args.min_tok_ktok_s)
+            and c["host_tokenize_ktok_s"] >= args.min_tok_ktok_s
+            and c["fault_scale4"] >= args.min_fault_scale4)
 
 
 def run_pair(args) -> dict | None:
@@ -68,6 +89,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-fault-mb-s", type=float, default=1500.0)
     ap.add_argument("--min-tok-ktok-s", type=float, default=680.0)
+    ap.add_argument("--min-fault-scale4", type=float, default=3.2)
     ap.add_argument("--executors", default="1,4")
     ap.add_argument("--executor-cores", type=int, default=1)
     ap.add_argument("--n-docs", type=int, default=60_000)
