@@ -317,6 +317,21 @@ def _q_jaccard_pairs_capped(spark, sf_dir):
                                      max_shingle_df=JACCARD_DF_CAP)
 
 
+DUPSPAN_N = 3  # contract n-gram order (trigrams overlap at sf0.01)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring coverage (Lee et al. 2022
+    ExactSubstr at token-trigram granularity): per doc, the fraction
+    of tokens covered by a trigram occurring >= 2x anywhere in the
+    corpus.  Spark merges fixed-length intervals with a Catalyst fold
+    over sorted starts; the oracle expands every covered position via
+    generate_series and counts distinct — two independent
+    formulations of the same union-of-intervals."""
+    return dedup.dup_ngram_span_stats(_docs(spark, sf_dir),
+                                      n=DUPSPAN_N)
+
+
 def _q_lsh_jaccard_verified(spark, sf_dir):
     """Production composition: capped-LSH candidate pairs verified
     with EXACT n-gram Jaccard (map-side array_intersect over the
@@ -946,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
+        "dd_dup_spans": _q_dup_spans,
         "dd_lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
@@ -1344,6 +1360,52 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.15""",
         "dd_jaccard_pairs": jaccard_pairs_sql(None),
         "dd_jaccard_pairs_capped": jaccard_pairs_sql(JACCARD_DF_CAP),
+        # dup-span coverage: the oracle expands each covered position
+        # (generate_series, inclusive) and counts DISTINCT — the
+        # naive union-of-intervals that validates Spark's
+        # sorted-starts interval-merge fold
+        "dd_dup_spans": f"""
+            WITH toksd AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(toks) >= {DUPSPAN_N} THEN
+                       list_transform(
+                         range(1, len(toks) - {DUPSPAN_N} + 2),
+                         i -> array_to_string(
+                             toks[i:i+{DUPSPAN_N}-1], ' '))
+                     ELSE [] END AS grams
+              FROM toksd),
+            pos AS (
+              SELECT doc_id, unnest(grams) AS gram,
+                     generate_subscripts(grams, 1) AS pos
+              FROM grams),
+            dup AS (
+              SELECT gram FROM pos
+              GROUP BY gram HAVING count(*) >= 2),
+            cov AS (
+              SELECT doc_id,
+                     CAST(count(DISTINCT pos) AS BIGINT) AS dup_grams,
+                     CAST(count(DISTINCT p) AS BIGINT)
+                         AS covered_tokens
+              FROM (SELECT doc_id, pos,
+                           unnest(generate_series(
+                               pos, pos + {DUPSPAN_N} - 1)) AS p
+                    FROM pos JOIN dup USING (gram)) t
+              GROUP BY doc_id)
+            SELECT g.doc_id, g.n_tokens,
+                   CAST(coalesce(cov.dup_grams, 0) AS BIGINT)
+                       AS dup_grams,
+                   CAST(coalesce(cov.covered_tokens, 0) AS BIGINT)
+                       AS covered_tokens,
+                   round(coalesce(cov.covered_tokens, 0)
+                         / greatest(g.n_tokens, 1), 6)
+                       AS dup_span_frac
+            FROM grams g LEFT JOIN cov USING (doc_id)""",
         "ann_lsh_topk": _sql_ann_probe(),
         "ann_index_topk": _sql_ann_probe(),
         "ann_ivf_topk": _sql_ivf_topk(),

@@ -429,6 +429,13 @@ def main() -> None:
     with timed("jaccard_pairs_capped"):
         extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15, max_shingle_df=3).count()
+    # exact duplicated-substring coverage (Lee et al. ExactSubstr at
+    # token-8-gram granularity) over the FULL docs table: one 8-byte
+    # hash shuffle + one doc_id agg, coverage folded in Catalyst
+    with timed("dup_spans"):
+        extra["dup_span_docs"] = (
+            dedup.dup_ngram_span_stats(docs, n=8)
+            .where(F.col("dup_span_frac") > 0).count())
     # rolling-hash winnowing fingerprints (full table) + overlap
     # pairs with the hot-fingerprint guard
     with timed("winnow_fp"):

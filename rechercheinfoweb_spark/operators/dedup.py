@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import tokens_col
+from .textstats import ngrams_col, tokens_col
 
 MINHASH_K = 8
 LSH_BANDS = 4  # 2 hashes per band with k=8
@@ -266,6 +266,69 @@ def winnow_overlap_pairs(docs: DataFrame, min_overlap: int = 5,
     res = res.localCheckpoint()  # eager finalize (see above)
     fp0.unpersist()
     return res
+
+
+def dup_ngram_span_stats(docs: DataFrame, n: int = 8,
+                         min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring coverage per document (the
+    ExactSubstr measure of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", at token-n-gram granularity):
+    for every doc, the fraction of its tokens covered by some token
+    n-gram that occurs at least ``min_count`` times ANYWHERE in the
+    corpus — including repeats inside the same document, which is
+    what catches boilerplate templates a whole-doc or shingle-set
+    dedup (minhash/simhash/jaccard above) cannot see.
+
+    Returns one row per doc: (doc_id, n_tokens, dup_grams,
+    covered_tokens, dup_span_frac), zeros for clean docs.  Training
+    pipelines threshold dup_span_frac (or feed covered spans to a
+    cut-and-splice remover).
+
+    Scale shape: positions are map-side (posexplode of the n-gram
+    array); the gram relation shuffles on ``xxhash64(gram)`` — an
+    8-byte key, never the gram string (~9x narrower at n=8) — for
+    (1) the occurrence count, (2) the dup-gram semi-join (AQE
+    broadcasts it when the dup set is small), then (3) one partial-agg
+    shuffle by doc_id collecting dup start positions.  Coverage is a
+    pure Catalyst fold over the sorted starts — fixed-length
+    intervals merge as sum(min(next_start - start, n)) + n — so no
+    Python and no row blow-up (the DuckDB oracle instead expands
+    every covered position via generate_series and counts distinct:
+    two independent formulations of the same union-of-intervals).
+    64-bit hash collisions could merge two distinct grams (P ~ G²/2⁶⁵
+    — negligible at any corpus size that fits a cluster)."""
+    toks = tokens_col()
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(ngrams_col(n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    dup = (pos.groupBy("gh").agg(F.count("*").alias("occ"))
+           .where(F.col("occ") >= min_count).select("gh"))
+    starts = (pos.join(dup, "gh")
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    m = F.size("starts")
+    gap_sum = F.aggregate(
+        F.zip_with(F.slice("starts", F.lit(1), m - 1),
+                   F.slice("starts", F.lit(2), m - 1),
+                   lambda a, b: F.least(b - a, F.lit(n))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    covered = F.when(m >= 1, gap_sum + n).otherwise(F.lit(0)).cast("long")
+    per_doc = starts.select(
+        "doc_id", m.cast("long").alias("dup_grams"),
+        covered.alias("covered_tokens"))
+    return (docs.select("doc_id", F.size(toks).cast("long")
+                        .alias("n_tokens"))
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce("dup_grams", F.lit(0)).cast("long")
+                 .alias("dup_grams"),
+                F.coalesce("covered_tokens", F.lit(0)).cast("long")
+                 .alias("covered_tokens"),
+                F.round(F.coalesce("covered_tokens", F.lit(0))
+                        / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                 .alias("dup_span_frac")))
 
 
 def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:

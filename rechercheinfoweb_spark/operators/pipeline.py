@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .dedup import dedup_keep, simhash_near_pairs
-from .textstats import LANG_MARKERS, tokens_col
+from .textstats import LANG_MARKERS, ngrams_col, tokens_col
 
 
 def _lang_pred_col(toks: Column) -> Column:
@@ -70,18 +70,6 @@ def _quality_col(toks: Column) -> Column:
     return F.round(
         0.4 * alpha_ratio + 0.4 * stop_ratio
         + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
-
-
-def ngrams_col(n: int, col: str = "text") -> Column:
-    """Lowercased token *n*-grams of *col* joined by single spaces
-    (SQL-portable tokenizer, so the DuckDB oracle can recompute
-    them)."""
-    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
-    sz = F.size(toks)
-    return F.when(sz >= n, F.transform(
-        F.sequence(F.lit(1), sz - n + 1),
-        lambda i: F.array_join(F.slice(toks, i, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def contamination(docs: DataFrame, benchmark: DataFrame,

@@ -35,6 +35,19 @@ def tokens_col(col: str = "text") -> Column:
                     lambda t: t != "")
 
 
+def ngrams_col(n: int, col: str = "text") -> Column:
+    """Lowercased token *n*-grams of *col* joined by single spaces
+    (SQL-portable tokenizer, so the DuckDB oracle can recompute
+    them).  Shared by decontamination (operators/pipeline.py) and
+    duplicated-span detection (operators/dedup.py)."""
+    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+    sz = F.size(toks)
+    return F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # Explicit whitespace class instead of \s: Java's \s includes
 # vertical tab (\x0B) but RE2's does not, so \s is NOT portable
 # between Spark and the DuckDB oracle.  The escape forms \t \n \f \r

@@ -59,3 +59,47 @@ def test_minhash_max_bucket_guard(spark):
     assert all(a >= 100 for a, _ in got)
     # ...but the small near-dup pair is still found
     assert (100, 101) in got
+
+
+def test_dup_ngram_span_stats_brute_force(spark, small_docs):
+    """Interval-merge coverage == naive position-set expansion, on
+    real corpus text plus crafted overlap/self-repeat/short docs."""
+    n = 3
+    crafted = spark.createDataFrame(
+        [(900001, "a b c x y z"),          # cross-doc dup with next
+         (900002, "q a b c r s"),
+         (900003, "p q r p q r p q r"),    # self-repeating template
+         (900004, "totally fresh words appear once"),
+         (900005, "hi there")],            # shorter than one n-gram
+        "doc_id long, text string")
+    docs = small_docs.unionByName(crafted)
+
+    # brute force in python over the SQL-portable tokenizer
+    import re
+    toks = {r["doc_id"]:
+            [t.lower() for t in re.split(r"[^a-zA-Z0-9]+", r["text"])
+             if t]
+            for r in docs.collect()}
+    grams: dict[int, list[str]] = {
+        d: [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+        for d, t in toks.items()}
+    from collections import Counter
+    occ = Counter(g for gs in grams.values() for g in gs)
+    want = {}
+    for d, t in toks.items():
+        covered: set[int] = set()
+        dup_positions = [i for i, g in enumerate(grams[d])
+                         if occ[g] >= 2]
+        for i in dup_positions:
+            covered.update(range(i, i + n))
+        frac = round(len(covered) / max(len(t), 1), 6)
+        want[d] = (len(t), len(dup_positions), len(covered), frac)
+
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_grams"],
+                         r["covered_tokens"], r["dup_span_frac"])
+           for r in dedup.dup_ngram_span_stats(docs, n=n).collect()}
+    assert got == want
+    # the crafted cases hit every branch: cross-doc dup, full
+    # coverage via overlapping intervals, zero-dup, sub-n-gram doc
+    assert got[900003] == (9, 7, 9, 1.0)
+    assert got[900005] == (2, 0, 0, 0.0)
