@@ -317,6 +317,22 @@ def _q_jaccard_pairs_capped(spark, sf_dir):
                                      max_shingle_df=JACCARD_DF_CAP)
 
 
+PACK_BUDGET = 5000  # contract token budget per training shard
+
+
+def _q_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (the training-export stage): the
+    corpus as one contiguous token stream in doc_id order, chopped
+    into 5000-token shards; a doc lands in the shard holding its
+    first token.  Spark runs the engine's deterministic two-phase
+    running sum (hash-sampled pure-data bucketing — never a global
+    one-partition window); the oracle is the textbook single-node
+    window cumsum it must equal."""
+    return pipeline.pack_token_shards(_docs(spark, sf_dir),
+                                      budget=PACK_BUDGET,
+                                      target_rows_per_bucket=100)
+
+
 DUPSPAN_N = 3  # contract n-gram order (trigrams overlap at sf0.01)
 
 
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_sample": _q_sample,
         "pp_quality_quantile": _q_quality_quantile,
         "pp_url_dedup": _q_url_dedup,
+        "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1360,6 +1377,25 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.15""",
         "dd_jaccard_pairs": jaccard_pairs_sql(None),
         "dd_jaccard_pairs_capped": jaccard_pairs_sql(JACCARD_DF_CAP),
+        # shard packing: the oracle IS the one-partition window
+        # cumsum the distributed two-phase scheme must equal
+        "pp_pack_shards": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''))
+                       AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS cum_tokens
+              FROM t)
+            SELECT doc_id, n_tokens, cum_tokens,
+                   CAST((cum_tokens - n_tokens) // {PACK_BUDGET}
+                     AS BIGINT) AS shard
+            FROM c""",
         # dup-span coverage: the oracle expands each covered position
         # (generate_series, inclusive) and counts DISTINCT — the
         # naive union-of-intervals that validates Spark's

@@ -429,6 +429,13 @@ def main() -> None:
     with timed("jaccard_pairs_capped"):
         extra["jaccard_pairs_capped"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15, max_shingle_df=3).count()
+    # training-export shard packing: distributed two-phase running
+    # sum over the full docs table (one tiny agg + bucket-local
+    # window — never a global one-partition window)
+    with timed("pack_shards"):
+        extra["pack_shards"] = (
+            pipeline.pack_token_shards(docs, budget=50_000)
+            .agg(F.countDistinct("shard")).collect()[0][0])
     # exact duplicated-substring coverage (Lee et al. ExactSubstr at
     # token-8-gram granularity) over the FULL docs table: one 8-byte
     # hash shuffle + one doc_id agg, coverage folded in Catalyst

@@ -29,6 +29,8 @@ this is the LLM-pipeline surface the brief adds on top of SURVEY §2.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -288,3 +290,79 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
             .drop("_rk"))
+
+
+def pack_token_shards(docs: DataFrame, budget: int,
+                      tokens_col_name: str | None = None,
+                      target_rows_per_bucket: int = 5000) -> DataFrame:
+    """Deterministic token-budget shard assignment — the last stage
+    of a training-data pipeline: the cleaned corpus becomes one
+    contiguous token stream in doc_id order, chopped into shards of
+    ``budget`` tokens each; a doc belongs to the shard where its
+    FIRST token lands (docs may straddle a boundary, exactly like
+    sequence packing for LM training, where windows ignore doc
+    boundaries).  Returns (doc_id, n_tokens, cum_tokens, shard) with
+    cum_tokens = inclusive running total by doc_id.
+
+    Scale shape: a bare ``sum() over (order by doc_id)`` collapses
+    the corpus onto ONE partition, so this reuses the engine's
+    deterministic two-phase numbering scheme
+    (sources/web_pages.py::assign_doc_ids): bucket(doc_id) =
+    searchsorted over a hash-sampled boundary list (a pure function
+    of the data — identical on every recomputation and at every
+    parallelism), per-bucket token subtotals -> driver prefix
+    offsets (one tiny agg), then a bucket-local running sum.  Token
+    counts come from the SQL-portable tokenizer unless
+    ``tokens_col_name`` names a precomputed column."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    if tokens_col_name is None:
+        d = docs.select("doc_id", F.size(tokens_col()).cast("long")
+                        .alias("n_tokens"))
+    else:
+        d = docs.select("doc_id", F.col(tokens_col_name).cast("long")
+                        .alias("n_tokens"))
+    n = d.count()
+    parts = max(1, min(4096, n // target_rows_per_bucket))
+    boundaries: list[int] = []
+    if parts > 1:
+        sample_mod = max(1, n // (parts * 50))
+        sample = sorted(
+            r["doc_id"] for r in d.select("doc_id")
+            .where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+            .collect())
+        if sample:
+            stride = max(1, len(sample) // parts)
+            boundaries = sorted({sample[i] for i in
+                                 range(stride, len(sample), stride)})
+    bounds_arr = np.array(boundaries, dtype=np.int64)
+
+    @pandas_udf(IntegerType())
+    def _bucket(ids: pd.Series) -> pd.Series:
+        if len(bounds_arr) == 0:
+            return pd.Series(np.zeros(len(ids), dtype=np.int32))
+        return pd.Series(np.searchsorted(
+            bounds_arr, ids.to_numpy(dtype=np.int64), side="right"
+        ).astype(np.int32))
+
+    sdf = d.withColumn("_b", _bucket(F.col("doc_id")))
+    sums = {r["_b"]: r["s"] for r in
+            sdf.groupBy("_b").agg(F.sum("n_tokens").alias("s"))
+            .collect()}
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    offmap = F.create_map(*[
+        F.lit(x) for kv in offsets.items() for x in kv
+    ]) if offsets else F.create_map()
+    w = (Window.partitionBy("_b").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (sdf
+            .withColumn("cum_tokens",
+                        (offmap[F.col("_b")]
+                         + F.sum("n_tokens").over(w)).cast("long"))
+            .withColumn("shard", F.expr(
+                f"(cum_tokens - n_tokens) div {int(budget)}"))
+            .select("doc_id", "n_tokens", "cum_tokens", "shard"))

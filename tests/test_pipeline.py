@@ -344,3 +344,34 @@ def test_url_dedup_keeps_min_url_per_canonical(spark):
     assert kept["https://ex.com/a/b?a=1&z=2"] == min(
         rows[0][1], rows[1][1], rows[3][1])
     assert kept["https://ex.com/other"] == "https://ex.com/other"
+
+
+def test_pack_token_shards_brute_force_and_parallelism(spark,
+                                                       small_docs):
+    """Two-phase distributed running sum == single-node cumsum by
+    doc_id, identical at any input partitioning, multi-bucket path
+    exercised (target_rows_per_bucket=20 over 120 docs)."""
+    import re
+    budget = 500
+    want = {}
+    cum = 0
+    for did, text in sorted((r["doc_id"], r["text"])
+                            for r in small_docs.collect()):
+        nt = len([t for t in re.split(r"[^a-zA-Z0-9]+", text) if t])
+        start = cum
+        cum += nt
+        want[did] = (nt, cum, start // budget)
+
+    def run(docs):
+        return {r["doc_id"]: (r["n_tokens"], r["cum_tokens"],
+                              r["shard"])
+                for r in pipeline.pack_token_shards(
+                    docs, budget=budget,
+                    target_rows_per_bucket=20).collect()}
+
+    got = run(small_docs)
+    assert got == want
+    assert len({v[2] for v in got.values()}) > 1  # several shards
+    # repartitioned input must produce the identical assignment
+    assert run(small_docs.repartition(7)) == got
+    assert run(small_docs.coalesce(1)) == got
