@@ -735,7 +735,8 @@ def _sql_ivf_topk(k: int = 20) -> str:
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
 
 
-def _sql_engine_bm25_nostem(k: int = 20) -> str:
+def _sql_engine_bm25_nostem(k: int = 20, deleted: str | None = None,
+                            purged: bool = False) -> str:
     """Oracle for the PHYSICAL engine path at stem=False: DuckDB
     re-derives the engine's doc ids (row_number by url — the build's
     assign_doc_ids spec), its tokenizer (charset regex + len>=3 +
@@ -745,16 +746,30 @@ def _sql_engine_bm25_nostem(k: int = 20) -> str:
     BM25 from (tf, dl, df) — the exact statistics the engine decodes
     back out of its varint posting blocks.  A hash match therefore
     certifies the whole artifact round-trip, not a DataFrame
-    recomputation."""
+    recomputation.
+
+    ``deleted``: SQL predicate over ``doc_id`` marking tombstoned
+    docs.  With ``purged=False`` it models a LOGICAL delete
+    (operators/delete.py): dead docs leave the RESULT only, while
+    n_docs/avgdl/df keep full-corpus values (Lucene live-docs
+    semantics).  With ``purged=True`` it models the PHYSICAL purge:
+    dead docs leave every statistic too — but doc ids are still
+    assigned over the FULL corpus first, because a purge never
+    renumbers survivors."""
     from rechercheinfoweb_spark.functions.tokenizer import STOPWORDS
     stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    stats_filter = (f"WHERE NOT ({deleted})"
+                    if deleted and purged else "")
+    result_filter = (f"AND NOT ({deleted.replace('doc_id', 'tf.doc_id')})"
+                     if deleted and not purged else "")
     return f"""
-        WITH ids AS (
+        WITH ids0 AS (
               SELECT CAST(row_number() OVER (
                        ORDER BY source || '/' || CAST(doc_id AS VARCHAR))
                      AS BIGINT) AS doc_id,
                      text
               FROM documents),
+             ids AS (SELECT * FROM ids0 {stats_filter}),
              toks AS (
               SELECT doc_id,
                      unnest(regexp_extract_all(text,
@@ -765,7 +780,7 @@ def _sql_engine_bm25_nostem(k: int = 20) -> str:
               WHERE length(term) >= 3 AND term NOT IN ({stop})),
              tf AS (SELECT doc_id, term, count(*) AS tf
                     FROM ft GROUP BY doc_id, term),
-             n AS (SELECT count(*) AS n_docs FROM documents),
+             n AS (SELECT count(*) AS n_docs FROM ids),
              dls AS (SELECT doc_id, sum(tf) AS dl
                      FROM tf GROUP BY doc_id),
              ad AS (SELECT sum(dl) * 1.0 / (SELECT n_docs FROM n)
@@ -778,7 +793,7 @@ def _sql_engine_bm25_nostem(k: int = 20) -> str:
                  / (tf.tf + {K1} * (1 - {B} + {B} * dls.dl / ad.avgdl))
                ), 6) AS score
         FROM tf JOIN dfs USING (term) JOIN dls USING (doc_id), n, ad
-        WHERE tf.term IN ('data','query','stream')
+        WHERE tf.term IN ('data','query','stream') {result_filter}
         GROUP BY tf.doc_id
         ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
@@ -949,6 +964,72 @@ def _q_engine_bm25_nostem(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
 
 
+#: deterministic tombstone rule for the delete/purge contract rows:
+#: engine doc ids with doc_id % 7 == 3 are deleted
+DELETE_SQL_PRED = "doc_id % 7 = 3"
+
+
+def _build_nostem_index(spark, sf_dir, tag: str) -> str:
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.index_build import build_index
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+    key = _content_key(f"{sf_dir}/documents.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"riw_{tag}_{key}")
+    pages = documents_as_web_pages(spark, sf_dir)
+    build_index(spark, pages, out, n_chunks=2, n_buckets=8,
+                stem=False, resume=True)
+    return out
+
+
+def _rounded_topk(spark, out, k: int = 20):
+    from rechercheinfoweb_spark.operators.query_vector import vector_topk
+    res = vector_topk(spark, out, "data query stream", scheme="bm25",
+                      k=1_000_000)
+    return (res.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def _q_engine_bm25_deleted(spark, sf_dir):
+    """LOGICAL delete through the physical engine path: tombstone
+    every doc_id % 7 == 3 (operators/delete.py), query the packed
+    index.  Deleted docs leave the result immediately; n_docs/avgdl/
+    df keep their published full-corpus values (Lucene live-docs
+    semantics) — which is exactly what the oracle recomputes."""
+    from rechercheinfoweb_spark.operators import delete as dl
+    from rechercheinfoweb_spark.operators.query_vector import IndexReader
+    out = _build_nostem_index(spark, sf_dir, "ixdel")
+    n = IndexReader(spark, out).n_docs
+    dl.delete_docs(spark, out,
+                   doc_ids=[i for i in range(1, n + 1) if i % 7 == 3])
+    return _rounded_topk(spark, out)
+
+
+def _q_engine_bm25_purged(spark, sf_dir):
+    """PHYSICAL purge through the engine path: tombstone doc_id % 7
+    == 3, then compaction re-packs the posting blocks without the
+    dead ids and finalize republishes survivor statistics
+    (n_docs/avgdl/df) — while survivor doc ids stay EXACTLY as first
+    assigned (a purge never renumbers).  The oracle recomputes BM25
+    over the survivor corpus with ids assigned over the full corpus,
+    so a hash match certifies both the re-packed artifact and the
+    id-stability contract."""
+    from rechercheinfoweb_spark.operators import delete as dl
+    from rechercheinfoweb_spark.operators.compact import compact_chunks
+    from rechercheinfoweb_spark.operators.query_vector import IndexReader
+    out = _build_nostem_index(spark, sf_dir, "ixpg")
+    marker = os.path.join(out, "purged.marker")
+    if not os.path.exists(marker):
+        n = IndexReader(spark, out).n_docs
+        dl.delete_docs(spark, out, doc_ids=[i for i in range(1, n + 1)
+                                            if i % 7 == 3])
+        compact_chunks(spark, out, target_docs=10**9)
+        open(marker, "w").close()
+    return _rounded_topk(spark, out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_term_doc_tf": _q_term_doc_tf,
@@ -1001,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_heaps_curve": _q_heaps_curve,
         "ix_engine_bm25_topk": _q_engine_bm25,
         "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
+        "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
+        "ix_engine_bm25_purged": _q_engine_bm25_purged,
     }
 
 
@@ -1720,4 +1803,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id""",
         "ix_engine_bm25_nostem": _sql_engine_bm25_nostem(),
+        "ix_engine_bm25_deleted": _sql_engine_bm25_nostem(
+            deleted=DELETE_SQL_PRED),
+        "ix_engine_bm25_purged": _sql_engine_bm25_nostem(
+            deleted=DELETE_SQL_PRED, purged=True),
     }

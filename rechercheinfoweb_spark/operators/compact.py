@@ -59,27 +59,54 @@ from .index_build import (
 )
 
 
-def _merge_postings_kernel():
+def _merge_postings_kernel(dead_map: dict | None = None,
+                           block_size: int = 128):
     """applyInPandas kernel over one (bucket, new_salt) group: all
     posting rows of the chunks being merged into ``new_salt``.  Per
     term: blocks concatenate in doc-id order (min_doc_id of the
     source row — chunk ranges are disjoint), df_part sums,
-    min_doc_id mins.  Block bytes are NOT touched."""
+    min_doc_id mins.  Block bytes are NOT touched — unless
+    ``dead_map`` lists tombstoned ids for this new_salt (physical
+    delete purge, operators/delete.py): then each term's blocks
+    decode, drop the dead ids, and re-pack through the SAME
+    ``codec.pack_postings`` the build uses (df_part = live count,
+    emptied terms dropped), so a purged index is byte-compatible
+    with a fresh build over the survivors."""
 
     def fn(pdf):
         import pandas as pd
+        from ..functions import codec
         bucket = int(pdf["bucket"].iloc[0])
         new_salt = int(pdf["new_salt"].iloc[0])
+        dead = (dead_map or {}).get(new_salt)
         pdf = pdf.sort_values(["term", "min_doc_id"], kind="mergesort")
         terms: list = []
         dfp: list = []
         minid: list = []
         blocks: list = []
         for term, g in pdf.groupby("term", sort=False):
+            blks = [b for lst in g["blocks"] for b in lst]
+            if dead is not None:
+                parts = [codec.unpack_block(bytes(b["data"]),
+                                            int(b["n"])) for b in blks]
+                ids = np.concatenate([p[0] for p in parts])
+                live = ~np.isin(ids, dead)
+                if not live.any():
+                    continue  # term now empty in this shard
+                if not live.all():
+                    blks = codec.pack_postings(
+                        ids[live],
+                        np.concatenate([p[1] for p in parts])[live],
+                        np.concatenate([p[2] for p in parts])[live],
+                        np.concatenate([p[3] for p in parts])[live],
+                        block_size)
+                dfp.append(int(live.sum()))
+                minid.append(int(ids[live.argmax()]))
+            else:
+                dfp.append(int(g["df_part"].sum()))
+                minid.append(int(g["min_doc_id"].iloc[0]))
             terms.append(term)
-            dfp.append(int(g["df_part"].sum()))
-            minid.append(int(g["min_doc_id"].iloc[0]))
-            blocks.append([b for lst in g["blocks"] for b in lst])
+            blocks.append(blks)
         return pd.DataFrame({
             "term": terms,
             "bucket": np.full(len(terms), bucket, dtype=np.int32),
@@ -142,7 +169,8 @@ def _prune_unreferenced_chunks(paths: IndexPaths,
 def compact_chunks(spark: SparkSession, out_dir: str, *,
                    target_docs: int = DOCS_PER_CHUNK,
                    prune: bool = True,
-                   keep_previous: bool = True) -> dict:
+                   keep_previous: bool = True,
+                   purge_deletes: bool = True) -> dict:
     """Merge runs of adjacent published chunks up to ``target_docs``
     docs each, publish the new snapshot, prune unreferenced dirs.
 
@@ -157,7 +185,17 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
     compaction, once their snapshot ages out) — the same
     current+previous grace the dictionary versions get.  Pass False
     to reclaim the space immediately when no long-lived readers exist
-    (Iceberg's expire-snapshots trade-off)."""
+    (Iceberg's expire-snapshots trade-off).
+
+    ``purge_deletes`` (default): chunks holding tombstoned docs
+    (operators/delete.py) are rewritten even when they need no merge
+    — posting blocks re-pack without the dead ids, docs rows drop,
+    and the registry keeps the chunk's original id *span* (the
+    positional contract; survivors never renumber) while ``n_docs``
+    becomes the live count, so the finalize below republishes
+    n_docs/avgdl/df over the survivors.  Purged ids leave the
+    tombstone file only AFTER the snapshot commit (a crash replays
+    the purge; it never resurrects a deleted doc)."""
     import pyarrow.parquet as pq
 
     t0 = time.time()
@@ -172,8 +210,15 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
     published = snapshot_registry(paths, stats)
     published_ids = {r["chunk"] for r in published}
 
+    from .delete import dead_by_salt, read_tombstones
+    tombstones = (read_tombstones(paths) if purge_deletes
+                  else np.zeros(0, dtype=np.int64))
+    dead_by_chunk = dead_by_salt(tombstones, published)
+
     groups = plan_groups(published, target_docs)
-    merge_groups = [g for g in groups if len(g) >= 2]
+    merge_groups = [g for g in groups
+                    if len(g) >= 2
+                    or any(r["chunk"] in dead_by_chunk for r in g)]
     if not merge_groups:
         return {"merged_groups": 0, "n_chunks_before": len(published),
                 "n_chunks_after": len(published), "wall_secs": 0.0}
@@ -181,20 +226,48 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
     next_id = max(r["chunk"] for r in working) + 1
     mapping: dict[int, int] = {}
     merged_rows: list[dict] = []
+    dead_map: dict[int, np.ndarray] = {}
     for i, g in enumerate(merge_groups):
         new_id = next_id + i
         for r in g:
             mapping[r["chunk"]] = new_id
+        g_dead = [dead_by_chunk[r["chunk"]] for r in g
+                  if r["chunk"] in dead_by_chunk]
+        if g_dead:
+            dead_map[new_id] = np.concatenate(g_dead)
+        min_id = min(r["min_id"] for r in g)
         merged_rows.append({
             "chunk": new_id,
-            "min_id": min(r["min_id"] for r in g),
+            "min_id": min_id,
             "n_docs": sum(r["n_docs"] for r in g),
+            # id-range width, NOT live count: the positional
+            # contract survives delete holes (delete.py)
+            "span": max(r["min_id"] + r.get("span", r["n_docs"])
+                        for r in g) - min_id,
             "batch_id": None,
         })
 
     old_ids = sorted(mapping)
     map_expr = F.create_map(*[F.lit(x) for kv in mapping.items()
                               for x in kv])
+
+    # live tombstoned docs per merged chunk (ids may be stale after a
+    # crashed purge — count only rows that actually exist): a narrow
+    # pushed-predicate scan proportional to the tombstone set
+    purged_docs = 0
+    if dead_map:
+        all_dead = [int(x) for arr in dead_map.values() for x in arr]
+        by_new = {r["chunk"]: r for r in merged_rows}
+        cnt = (spark.read.option("basePath", paths.docs)
+               .parquet(*[os.path.join(paths.docs, f"chunk={c}")
+                          for c in old_ids])
+               .where(F.col("doc_id").isin(all_dead))
+               .withColumn("new_chunk",
+                           F.element_at(map_expr, F.col("chunk")))
+               .groupBy("new_chunk").count().collect())
+        for row in cnt:
+            by_new[row["new_chunk"]]["n_docs"] -= int(row["count"])
+            purged_docs += int(row["count"])
 
     # postings: one shuffle over the merged chunks' rows only; block
     # bytes ride through untouched (list concat in the kernel)
@@ -204,22 +277,36 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
      .select("term", "bucket", "new_salt", "df_part", "min_doc_id",
              "blocks")
      .groupBy("bucket", "new_salt")
-     .applyInPandas(_merge_postings_kernel(), schema=POSTINGS_SCHEMA)
+     .applyInPandas(_merge_postings_kernel(dead_map or None,
+                                           int(stats["block_size"])),
+                    schema=POSTINGS_SCHEMA)
      .write.partitionBy("bucket", "salt")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.postings))
 
     # docs: narrow rewrite of the merged chunks' rows under their new
-    # chunk id
-    (spark.read.option("basePath", paths.docs)
-     .parquet(*[os.path.join(paths.docs, f"chunk={c}")
-                for c in old_ids])
+    # chunk id (tombstoned rows dropped — the physical delete)
+    docs_df = (spark.read.option("basePath", paths.docs)
+               .parquet(*[os.path.join(paths.docs, f"chunk={c}")
+                          for c in old_ids]))
+    if dead_map:
+        docs_df = docs_df.where(~F.col("doc_id").isin(
+            [int(x) for arr in dead_map.values() for x in arr]))
+    (docs_df
      .withColumn("chunk",
                  F.element_at(map_expr, F.col("chunk")).cast("int"))
      .select(*DOC_STATS_SCHEMA.fieldNames())
      .write.partitionBy("chunk")
      .option("partitionOverwriteMode", "dynamic")
      .mode("overwrite").parquet(paths.docs))
+    # a fully-purged group writes no partition (dynamic overwrite
+    # skips empty ones) — materialize an empty dir so per-chunk path
+    # reads (finalize, reader.docs) stay valid
+    for r in merged_rows:
+        cdir = os.path.join(paths.docs, f"chunk={r['chunk']}")
+        if r["n_docs"] == 0 and not os.path.isdir(cdir):
+            (spark.createDataFrame([], DOC_STATS_SCHEMA)
+             .drop("chunk").write.mode("overwrite").parquet(cdir))
 
     # working-registry commit (atomic file replace): merged rows in,
     # source rows out; unpublished appended chunks ride along
@@ -232,6 +319,21 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
                          n_buckets=int(stats["n_buckets"]),
                          block_size=int(stats["block_size"]),
                          k1=float(stats["k1"]), b=float(stats["b"]))
+
+    # tombstone retirement — strictly AFTER the snapshot commit: a
+    # crash before this point replays the purge on the next run; a
+    # deleted doc can never resurrect.  Ids inside any rewritten
+    # group's range are now guaranteed absent from postings and docs.
+    if tombstones.size and merged_rows:
+        from .delete import write_tombstones
+        keep_mask = np.ones(tombstones.size, dtype=bool)
+        for r in merged_rows:
+            lo = np.searchsorted(tombstones, r["min_id"], side="left")
+            hi = np.searchsorted(tombstones, r["min_id"] + r["span"],
+                                 side="left")
+            keep_mask[lo:hi] = False
+        if not keep_mask.all():
+            write_tombstones(paths, tombstones[keep_mask])
 
     pruned: list[int] = []
     if prune:
@@ -252,6 +354,7 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
         + len(merge_groups),
         "merged_chunks": old_ids,
         "new_chunks": [r["chunk"] for r in merged_rows],
+        "purged_docs": purged_docs,
         "pruned_chunks": pruned,
         "dict_version": fin["dict_version"],
         "wall_secs": wall,

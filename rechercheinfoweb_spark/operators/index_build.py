@@ -250,7 +250,14 @@ class BuildResult:
 # atomic-rename file is the local-FS equivalent.
 
 def write_registry(path: str, rows: list[dict]) -> None:
-    """rows: [{chunk, min_id, n_docs, batch_id|None}] — atomic."""
+    """rows: [{chunk, min_id, n_docs, span?, batch_id|None}] — atomic.
+
+    ``span`` is the chunk's doc-id RANGE width (the dense-position
+    capacity readers size their arrays with).  It equals ``n_docs``
+    until a physical delete purge punches holes in the range (see
+    operators/delete.py) — from then on ``n_docs`` is the live count
+    (feeding finalize's statistics) while ``span`` keeps the
+    positional contract stable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     if os.path.isdir(path):  # pre-v4 layout wrote a directory here
@@ -260,6 +267,8 @@ def write_registry(path: str, rows: list[dict]) -> None:
         "chunk": pa.array([r["chunk"] for r in rows], pa.int32()),
         "min_id": pa.array([r["min_id"] for r in rows], pa.int64()),
         "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "span": pa.array([r.get("span") or r["n_docs"] for r in rows],
+                         pa.int64()),
         "batch_id": pa.array([r.get("batch_id") for r in rows],
                              pa.int64()),
     })
@@ -272,8 +281,11 @@ def read_registry(path: str) -> list[dict]:
     import pyarrow.parquet as pq
     if not os.path.exists(path):
         return []
-    return sorted(pq.read_table(path).to_pylist(),
-                  key=lambda r: r["chunk"])
+    rows = pq.read_table(path).to_pylist()
+    for r in rows:  # registries written before the span column
+        if r.get("span") is None:
+            r["span"] = r["n_docs"]
+    return sorted(rows, key=lambda r: r["chunk"])
 
 
 def _make_unique_token_lut(stopwords: frozenset[str], use_stem: bool):

@@ -290,13 +290,15 @@ def _decode_term_row(doc_bytes: bytes, cnt_bytes: bytes,
     return ids, cnt, cs - base, offsets
 
 
-def _phrase_kernel(terms: list[str]):
+def _phrase_kernel(terms: list[str], dead: np.ndarray | None = None):
     """applyInPandas kernel over one salt shard's sidecar rows for
     the phrase's distinct terms → (doc_id, n_occ).
 
     Classic positional intersection: docs common to every term, then
     cur = pos(t1); cur = (cur+1) ∩ pos(t_i) left to right; n_occ =
-    |cur| (overlap-aware: "a a a" has two occurrences of "a a")."""
+    |cur| (overlap-aware: "a a a" has two occurrences of "a a").
+    ``dead``: sorted tombstoned doc ids (operators/delete.py),
+    dropped from the candidate set before any position work."""
     order = list(terms)
 
     def fn(pdf):
@@ -317,6 +319,8 @@ def _phrase_kernel(terms: list[str]):
         for t in order[1:]:
             common = np.intersect1d(common, decoded[t][0],
                                     assume_unique=True)
+        if dead is not None and dead.size and common.size:
+            common = common[~np.isin(common, dead)]
         if common.size == 0:
             return empty
         idx = {}
@@ -383,8 +387,11 @@ def phrase_search(spark: SparkSession, out_dir: str, phrase: str,
     rows = (spark.read.option("basePath", table).parquet(table)
             .where(F.col("bucket").isin(buckets)
                    & F.col("term").isin(distinct)))
+    from .delete import read_tombstones
+    dead = read_tombstones(out_dir)
     res = (rows.groupBy("salt")
-           .applyInPandas(_phrase_kernel(terms),
+           .applyInPandas(_phrase_kernel(terms,
+                                         dead if dead.size else None),
                           schema="doc_id long, n_occ long"))
     return res.orderBy("doc_id")
 

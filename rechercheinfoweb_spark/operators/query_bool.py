@@ -167,11 +167,16 @@ def _eval_ast_numpy(node, term_ids, prec: np.ndarray) -> np.ndarray:
     raise TypeError(f"unknown node {node!r}")
 
 
-def _eval_shard_kernel(ast, use_stem: bool = True):
+def _eval_shard_kernel(ast, use_stem: bool = True, dead_bc=None):
     """applyInPandas kernel over one salt shard's posting rows:
     decode each term's ids (first varint section only — no
     statistics decode), evaluate the AST on the shard's disjoint
-    doc-id range, emit matching ids."""
+    doc-id range, emit matching ids.
+
+    Tombstones (operators/delete.py) are removed from the RESULT,
+    not the operands: the result of any boolean AST is a subset of
+    its positive operands, so post-filtering equals evaluating over
+    the live corpus — and keeps the set algebra untouched."""
 
     def fn(pdf):
         import pandas as pd
@@ -195,6 +200,10 @@ def _eval_shard_kernel(ast, use_stem: bool = True):
 
         out = _eval_ast_numpy(ast, term_ids,
                               np.zeros(0, dtype=np.int64))
+        if dead_bc is not None and len(pdf):
+            dead = dead_bc.value.get(int(pdf["salt"].iloc[0]))
+            if dead is not None and dead.size:
+                out = out[~np.isin(out, dead)]
         return pd.DataFrame({"doc_id": out.astype(np.int64)})
 
     return fn
@@ -215,7 +224,8 @@ def boolean_search(spark: SparkSession, index_dir: str | IndexReader,
         rows = reader.postings_for(terms)
         res = (rows.select("term", "salt", "blocks")
                .groupBy("salt")
-               .applyInPandas(_eval_shard_kernel(ast, reader.stemmed),
+               .applyInPandas(_eval_shard_kernel(ast, reader.stemmed,
+                                                 reader._dead_bc),
                               schema="doc_id long"))
     res = res.orderBy("doc_id")
     if with_urls:

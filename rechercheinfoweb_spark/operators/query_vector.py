@@ -162,9 +162,20 @@ class IndexReader:
         # membership (isin), not a `<= max_chunk` watermark, is what
         # isolates this reader from appends AND from merged-away
         # chunks awaiting pruning.
+        registry_rows = snapshot_registry(self.paths, stats)
+        # (min_id, span): span is the id-RANGE width — identical to
+        # n_docs until a delete purge punches holes (delete.py)
         self.salt_map: dict[int, tuple[int, int]] = {
-            r["chunk"]: (r["min_id"], r["n_docs"])
-            for r in snapshot_registry(self.paths, stats)}
+            r["chunk"]: (r["min_id"], r.get("span", r["n_docs"]))
+            for r in registry_rows}
+        # tombstones (logical deletes): masked in every kernel; the
+        # per-salt split ships to tasks as ONE small broadcast
+        from .delete import dead_by_salt, read_tombstones
+        self.tombstones = read_tombstones(self.paths)
+        self._dead_bc = (
+            spark.sparkContext.broadcast(
+                dead_by_salt(self.tombstones, registry_rows))
+            if self.tombstones.size else None)
         # one file-listing/schema pass per table, reused by every
         # query through this reader
         self._postings = spark.read.parquet(self.paths.postings)
@@ -236,8 +247,16 @@ class IndexReader:
                 .where(F.col("term").isin(uniq)))
 
     def docs(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.paths.docs).parquet(
+        d = self.spark.read.option("basePath", self.paths.docs).parquet(
             *[f"{self.paths.docs}/chunk={c}" for c in self.salt_map])
+        if self.tombstones.size:
+            # broadcast anti-join on the (takedown-sized) tombstone
+            # set — never an isin literal list, which would inline
+            # into the plan and recompile per delete
+            t = self.spark.createDataFrame(
+                [(int(x),) for x in self.tombstones], "doc_id long")
+            d = d.join(F.broadcast(t), "doc_id", "left_anti")
+        return d
 
 
 def _block_meta_ub(blocks, idf_v: float, bidf_v: float, wcol: int,
@@ -258,7 +277,8 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
                         salt_map: dict[int, tuple[int, int]],
                         use_pruning: bool, avgdl: float,
                         k1: float, b: float, cache_token=None,
-                        counters: dict | None = None):
+                        counters: dict | None = None,
+                        dead_bc=None):
     """applyInPandas kernel over one salt shard's posting rows.
 
     ``salt_map`` maps each shard to its contiguous (first_doc_id,
@@ -299,6 +319,13 @@ def _score_shard_kernel(term_params: dict[str, tuple[float, float, float]],
                 ub[e[0]] += m * bmaxes[bi]
                 present[e[0]] = True
             decoded.append((m, idf_v, bidf_v, entries))
+        if dead_bc is not None:
+            # tombstoned docs: cleared from `present` BEFORE WAND
+            # seeding, so a dead doc can neither seed θ (which could
+            # prune live top-k docs) nor become a candidate
+            dead = dead_bc.value.get(salt)
+            if dead is not None and dead.size:
+                present[dead - base] = False
         if counters:
             counters["blocks_total"].add(n_blocks)
 
@@ -371,7 +398,7 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
                               scheme: str, k: int,
                               salt_map: dict[int, tuple[int, int]],
                               avgdl: float, k1: float, b: float,
-                              cache_token=None):
+                              cache_token=None, dead_bc=None):
     """applyInPandas kernel over one salt shard's posting rows,
     scoring EVERY query of the batch in a single pass.
 
@@ -392,6 +419,11 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
         salt = int(pdf["salt"].iloc[0])
         base, cap = salt_map[salt]
         cap += 2
+        dead_pos = None
+        if dead_bc is not None:
+            dead = dead_bc.value.get(salt)
+            if dead is not None and dead.size:
+                dead_pos = dead - base
         by_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
         for term, blocks in zip(pdf["term"], pdf["blocks"]):
             _, idf_v, bidf_v = term_params[term]
@@ -410,6 +442,8 @@ def _score_shard_batch_kernel(query_mults: dict[int, dict[str, int]],
                 for pos, w in by_term.get(term, ()):
                     exact[pos] += m * w
                     present[pos] = True
+            if dead_pos is not None:
+                present[dead_pos] = False
             cand = np.nonzero(present)[0]
             if cand.size == 0:
                 continue
@@ -451,7 +485,8 @@ def vector_topk_batch(spark: SparkSession,
     kern = _score_shard_batch_kernel(mults, params, scheme, k,
                                      reader.salt_map, reader.avgdl,
                                      reader.k1, reader.b,
-                                     cache_token=reader.cache_token)
+                                     cache_token=reader.cache_token,
+                                     dead_bc=reader._dead_bc)
     rows = reader.postings_for(kern.terms)
     scored = (rows.select("term", "salt", "blocks")
               .groupBy("salt")
@@ -510,7 +545,8 @@ def vector_topk(spark: SparkSession, index_dir: str | IndexReader,
         _score_shard_kernel(params, scheme, k, reader.salt_map,
                             use_pruning, reader.avgdl, reader.k1,
                             reader.b, cache_token=reader.cache_token,
-                            counters=counters),
+                            counters=counters,
+                            dead_bc=reader._dead_bc),
         schema="doc_id long, score double")
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:

@@ -81,9 +81,17 @@ class LocalSearcher:
         # snapshot chunk set: membership, not a <= max_chunk
         # watermark, isolates this searcher from streaming appends
         # and from compaction-merged chunks awaiting pruning
-        self._chunk_set = sorted(
-            r["chunk"] for r in snapshot_registry(
-                IndexPaths(index_dir), stats))
+        registry_rows = snapshot_registry(IndexPaths(index_dir), stats)
+        self._chunk_set = sorted(r["chunk"] for r in registry_rows)
+        # id capacity: the highest assigned id + 1.  After a delete
+        # purge, live n_docs < max id (holes), so dense scratch and
+        # the url array size by chunk spans, never by n_docs.
+        self._id_cap = max(
+            (r["min_id"] + r.get("span", r["n_docs"])
+             for r in registry_rows), default=self.n_docs + 1)
+        # tombstones (logical deletes): masked out of every result
+        from .delete import read_tombstones
+        self._dead = read_tombstones(index_dir)
         self._max_cached = max_cached_buckets
         self._buckets: OrderedDict[int, dict] = OrderedDict()
         self._dfs: OrderedDict[int, dict] = OrderedDict()
@@ -195,7 +203,7 @@ class LocalSearcher:
             # (streaming appends or a previous larger build)
             t = pq.read_table(docs_dir, columns=["doc_id", "url"],
                               filters=[("chunk", "in", self._chunk_set)])
-            urls = np.empty(self.n_docs + 1, dtype=object)
+            urls = np.empty(self._id_cap + 1, dtype=object)
             ids = t.column("doc_id").to_numpy()
             for i, u in zip(ids, t.column("url").to_pylist()):
                 urls[i] = u
@@ -248,14 +256,16 @@ class LocalSearcher:
                 contrib_parts.append(m * w[:, wcol])
         if not ids_parts:
             return ([], 0) if with_total else []
-        if self.n_docs <= DENSE_MAX_DOCS:
+        if self._id_cap <= DENSE_MAX_DOCS:
             if self._scores is None:
-                self._scores = np.zeros(self.n_docs + 2)
-                self._present = np.zeros(self.n_docs + 2, dtype=bool)
+                self._scores = np.zeros(self._id_cap + 2)
+                self._present = np.zeros(self._id_cap + 2, dtype=bool)
             scores_d, present = self._scores, self._present
             for ids, contrib in zip(ids_parts, contrib_parts):
                 scores_d[ids] += contrib
                 present[ids] = True
+            if self._dead.size:
+                present[self._dead] = False
             cand = np.nonzero(present)[0]
             scores = scores_d[cand].copy()
             for ids in ids_parts:  # reset only what this query wrote
@@ -267,6 +277,9 @@ class LocalSearcher:
             scores = np.bincount(inv,
                                  weights=np.concatenate(contrib_parts),
                                  minlength=cand.size)
+            if self._dead.size:
+                keep = ~np.isin(cand, self._dead)
+                cand, scores = cand[keep], scores[keep]
         sel, top_scores = _topk_select(cand, scores, k)
         if with_urls:
             urls = self._load_urls()
@@ -291,8 +304,11 @@ class LocalSearcher:
         ast = parse_boolean(query)
         if ast is None:
             return np.zeros(0, dtype=np.int64)
-        return _eval_ast_numpy(ast, self._term_ids,
-                               np.zeros(0, dtype=np.int64))
+        out = _eval_ast_numpy(ast, self._term_ids,
+                              np.zeros(0, dtype=np.int64))
+        if self._dead.size and out.size:
+            out = out[~np.isin(out, self._dead)]
+        return out
 
     def boolean_query(self, query: str) -> list[int]:
         return [int(x) for x in self.boolean_query_np(query)]

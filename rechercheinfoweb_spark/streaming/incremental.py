@@ -115,7 +115,11 @@ def append_batch(spark: SparkSession, batch_df: DataFrame,
     # appended chunks MUST tokenize exactly like the existing index
     use_stem = bool(stemmed_of(paths))
     next_chunk = (max(r["chunk"] for r in reg) + 1) if reg else 0
-    next_id = (max(r["min_id"] + r["n_docs"] for r in reg)) if reg else 1
+    # span, not n_docs: after a physical delete purge a chunk's live
+    # count shrinks but its id RANGE does not — new ids must start
+    # above every id ever assigned or they would collide with holes
+    next_id = (max(r["min_id"] + r.get("span", r["n_docs"])
+                   for r in reg)) if reg else 1
 
     # batch-local id assignment: batches are bounded (micro-batch
     # sized), so a single-partition url sort is fine here; the
