@@ -808,6 +808,59 @@ def _q_embed_near_pairs_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.15)
 
 
+SEM_N_LISTS = 32
+SEM_SEED = 11
+
+
+def _q_semantic_pairs(spark, sf_dir):
+    """SemDedup (cluster-scoped semantic near-dup) over the FULL
+    embeddings table — no PAIR_DOC_LIMIT needed: the centroid
+    quantizer bounds pair work to Σ cluster², the whole point of the
+    scheme.  Seeded anchors so the oracle can recompute assignment
+    from literals (the IVF-contract trick)."""
+    return similarity.semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.15,
+        n_lists=SEM_N_LISTS, seed=SEM_SEED)
+
+
+def _sql_semantic_pairs() -> str:
+    """Oracle for dd_semantic_pairs: the same seeded anchors as SQL
+    literals; assignment = rounded-RAW-dot argmax (row_number,
+    list_id tie-break) exactly as similarity._ivf_assign_kernel;
+    pairs joined within list only; cosine = dot-then-divide at 6dp,
+    the same float-op shape as the cluster kernel."""
+    anchors = similarity.seeded_anchors(EMB_DIM, SEM_N_LISTS, SEM_SEED)
+    rows = []
+    for i, c in enumerate(anchors):
+        vec = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({i}, [{vec}]::DOUBLE[])")
+    cent = ("cent(list_id, c) AS (VALUES\n            "
+            + ",\n            ".join(rows) + ")")
+    cos = """round(list_dot_product(a.v, b.v)
+                   / (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12)
+                      * greatest(sqrt(list_dot_product(b.v, b.v)),
+                                 1e-12)), 6)"""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            {cent},
+            assign AS (
+              SELECT vec_id, list_id FROM (
+                SELECT e.vec_id, cent.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_dot_product(e.v, cent.c),
+                                        6) DESC,
+                                  cent.list_id ASC) AS rn
+                FROM e CROSS JOIN cent) t
+              WHERE rn = 1),
+            ea AS (SELECT e.vec_id, e.v, assign.list_id
+                   FROM e JOIN assign USING (vec_id))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+        FROM ea a JOIN ea b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.15"""
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (ev.groupBy(
@@ -1075,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "dd_embed_near_pairs": _q_embed_near_pairs,
         "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
+        "dd_semantic_pairs": _q_semantic_pairs,
         "ev_hourly": _q_events_hourly,
         "ev_sessionize": _q_sessionize,
         "ev_pr_curve": _q_pr_curve,
@@ -1741,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
                                     1e-12)
                            * greatest(sqrt(list_dot_product(b.v, b.v)),
                                       1e-12)), 6) >= 0.15""",
+        "dd_semantic_pairs": _sql_semantic_pairs(),
         "ev_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS hour,

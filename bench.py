@@ -483,6 +483,11 @@ def main() -> None:
     similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
     with timed("ann_ivf_probe"):
         similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
+    # SemDedup: centroid-quantized cluster-scoped near-dup — pair
+    # work is sum(cluster^2), never corpus^2
+    with timed("semantic_dedup"):
+        extra["semantic_pairs"] = similarity.semantic_dedup_pairs(
+            emb, threshold=0.15, n_lists=64).count()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -419,3 +419,110 @@ def embedding_near_dup_pairs_lsh(emb: DataFrame,
            * F.greatest(_norm(F.col("vb")), F.lit(1e-12))), round_to)
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+# ---- SemDedup: cluster-scoped semantic deduplication ------------------
+
+
+def _cluster_pairs_kernel(threshold: float, id_col: str, vec_col: str,
+                          round_to: int, block: int = 2048):
+    """applyInPandas kernel over ONE cluster's (id, vec) rows → all
+    near-dup pairs (id_a < id_b, cosine >= threshold) inside it.
+
+    One gram matrix per cluster, computed in row-BLOCKS (block × m
+    matmul) so kernel memory is O(block·m) even on a degenerate
+    cluster — the pair OUTPUT is data-inherent, the scratch is not.
+    Ids sort first so pair emission order (and the id_a < id_b
+    orientation) is partitioning-independent."""
+
+    def fn(pdf):
+        import pandas as pd
+        cols = {"id_a": np.zeros(0, np.int64),
+                "id_b": np.zeros(0, np.int64),
+                "cosine": np.zeros(0, np.float64)}
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(cols)
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order].astype(np.int64)
+        v = np.stack([np.asarray(x, dtype=np.float64)
+                      for x in pdf[vec_col].to_numpy()[order]])
+        # dot-then-divide (not normalize-then-dot): the float-op
+        # shape every cosine in this module — and its DuckDB oracle
+        # twin — uses, so 6dp rounding lands identically
+        nrm = np.clip(np.linalg.norm(v, axis=1), 1e-12, None)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            g = np.round((v[lo:hi] @ v.T)
+                         / np.outer(nrm[lo:hi], nrm), round_to)
+            # upper triangle only: global col index > global row index
+            rows, cols_ = np.nonzero(g >= threshold)
+            keep = cols_ > rows + lo
+            rows, cols_ = rows[keep], cols_[keep]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols_])
+            out_c.append(g[rows, cols_])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    return fn
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.15, *,
+                         centroids: np.ndarray | None = None,
+                         n_lists: int = 32, seed: int = 11,
+                         dim: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_to: int = 6,
+                         block: int = 2048) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540) candidate
+    pairs: embeddings are quantized to their nearest centroid (the
+    IVF assignment kernel — one Arrow matmul per batch), and
+    near-duplicate search runs ONLY inside each cluster.  Total pair
+    work is Σ mᵢ² over cluster sizes instead of n² — the trick that
+    makes embedding-level dedup tractable at 10^8-10^9 docs: with
+    n_lists ∝ n the expected cluster stays constant-sized, so the
+    whole job is one narrow map (assignment) + one shuffle on
+    list_id + per-cluster numpy.  Cross-cluster near-dups are
+    deliberately out of scope (the paper's recall trade; raise
+    n_lists ∝ n, not cluster size).
+
+    ``centroids=None`` uses the seeded data-independent anchors so
+    the result is DuckDB-oracle-able (contract row
+    ``dd_semantic_pairs``); pass ``train_ivf_centroids(...)`` output
+    for production-quality clusters (pinned by pytest instead)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = seeded_anchors(dim, n_lists, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    assigned = (emb.select(F.col(id_col),
+                           F.col(vec_col).cast("array<double>")
+                           .alias(vec_col))
+                .mapInPandas(
+        _ivf_assign_kernel(centroids, id_col, vec_col, round_to),
+        schema=f"{id_col} long, {vec_col} array<double>, list_id int"))
+    return (assigned.groupBy("list_id")
+            .applyInPandas(
+                _cluster_pairs_kernel(threshold, id_col, vec_col,
+                                      round_to, block),
+                schema="id_a long, id_b long, cosine double"))
+
+
+def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.15, *,
+                        id_col: str = "vec_id",
+                        **kwargs) -> DataFrame:
+    """SemDedup survivor set: drop every vector that has ANY
+    lower-id near-duplicate in its own cluster (deterministic
+    min-id-wins, the same survivor rule the exact/MinHash dedup
+    family uses).  One broadcast-able anti-join on the (small
+    relative to corpus) drop list."""
+    pairs = semantic_dedup_pairs(emb, threshold, id_col=id_col,
+                                 **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(drop, id_col, "left_anti")

@@ -126,3 +126,64 @@ def test_ivf_anchor_quantizer_deterministic(spark, clustered_emb,
     assert (similarity.ivf_probe_lists(cents, qv, 3)
             == similarity.ivf_probe_lists(cents, qv, 3))
     assert len(similarity.ivf_probe_lists(cents, qv, 99)) == 8
+
+
+def test_semantic_dedup_pairs_bruteforce(spark, clustered_emb):
+    """SemDedup pairs == exact pairwise pairs restricted to
+    same-assigned-cluster membership (numpy ground truth), at any
+    matmul block size and input partitioning."""
+    rows = sorted((r["vec_id"], np.asarray(r["embedding"]))
+                  for r in clustered_emb.collect())
+    ids = np.array([i for i, _ in rows])
+    v = np.stack([x for _, x in rows])
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    anchors = similarity.seeded_anchors(32, 16, seed=11)
+    assign = np.argmax(np.round(vn @ anchors.T, 6), axis=1)
+    g = np.round(vn @ vn.T, 6)
+    want = {(int(ids[i]), int(ids[j]), float(g[i, j]))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if assign[i] == assign[j] and g[i, j] >= 0.9}
+
+    def run(df, block):
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in
+                similarity.semantic_dedup_pairs(
+                    df, threshold=0.9, n_lists=16, seed=11,
+                    block=block).collect()}
+
+    got = run(clustered_emb, 2048)
+    assert got == want and len(want) > 10
+    assert run(clustered_emb.repartition(7), 3) == want  # block path
+
+
+def test_semantic_dedup_keep_min_id_survives(spark, clustered_emb):
+    pairs = similarity.semantic_dedup_pairs(
+        clustered_emb, threshold=0.9, n_lists=16, seed=11).collect()
+    dropped = {r["id_b"] for r in pairs}
+    kept = {r["vec_id"] for r in similarity.semantic_dedup_keep(
+        clustered_emb, threshold=0.9, n_lists=16, seed=11).collect()}
+    assert kept == {r["vec_id"] for r in clustered_emb.collect()} \
+        - dropped
+    # each cluster's minimum id always survives
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+    assert kept  # non-degenerate
+
+
+def test_semantic_dedup_trained_centroids(spark, clustered_emb):
+    """Production path: k-means-trained quantizer concentrates true
+    clusters, so every within-cluster near-dup pair is found."""
+    sample = np.stack([np.asarray(r["embedding"]) for r in
+                       clustered_emb.orderBy("vec_id").collect()])
+    cents = similarity.train_ivf_centroids(sample, 10, seed=3)
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.semantic_dedup_pairs(
+               clustered_emb, threshold=0.9,
+               centroids=cents).collect()}
+    want = {(a, b) for c in range(20)
+            for a in range(c * 5, c * 5 + 5)
+            for b in range(a + 1, c * 5 + 5)}
+    # a tight true cluster can straddle a Voronoi boundary (the
+    # paper's recall trade) — require near-total recall, not 100%
+    assert len(want & got) / len(want) >= 0.95
+    # and no false positives: every found pair is a true near-dup
+    assert all(a // 5 == b // 5 for a, b in got)
