@@ -307,6 +307,25 @@ def _q_lsh_pairs_capped(spark, sf_dir):
                                    max_bucket=LSH_MAX_BUCKET)
 
 
+def _q_incremental_pairs(spark, sf_dir):
+    """Incremental cross-batch dedup: the corpus slice is split
+    store (doc_id % 4 != 0) / batch (doc_id % 4 == 0); store band
+    rows are PERSISTED once per documents-parquet content, the batch
+    probes them with a broadcast join — semantics pinned to
+    ``minhash_lsh_pairs(store ∪ batch)`` restricted to pairs with
+    ≥1 batch member (the oracle computes exactly that)."""
+    import tempfile
+    docs = _pair_docs(spark, sf_dir)
+    store_docs = docs.where(F.col("doc_id") % 4 != 0)
+    batch_docs = docs.where(F.col("doc_id") % 4 == 0)
+    key = _content_key(f"{sf_dir}/documents.parquet")
+    store = os.path.join(tempfile.gettempdir(), f"riw_sigstore_{key}")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        dedup.write_signature_store(spark, store_docs, store)
+    return dedup.incremental_lsh_pairs(spark, batch_docs, store,
+                                       max_bucket=None)
+
+
 def _q_jaccard_pairs_capped(spark, sf_dir):
     """df-cutoff guard TRIPPED: shingles with df > 3 (120 of them on
     this slice) are dropped before sizes AND the intersection join,
@@ -1109,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_sigs": _q_minhash_sigs,
         "dd_lsh_pairs": _q_lsh_pairs,
         "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
+        "dd_incremental_pairs": _q_incremental_pairs,
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "dd_dup_spans": _q_dup_spans,
@@ -1480,6 +1500,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id""",
         "dd_lsh_pairs": lsh_pairs_sql(None),
         "dd_lsh_pairs_capped": lsh_pairs_sql(LSH_MAX_BUCKET),
+        # incremental = full LSH pairs restricted to ≥1 batch-side
+        # (doc_id % 4 = 0) member — the Spark path computes this
+        # from a persisted store + broadcast probe, never a self-join
+        "dd_incremental_pairs": f"""
+            SELECT * FROM ({lsh_pairs_sql(None)})
+            WHERE doc_a % 4 = 0 OR doc_b % 4 = 0""",
         "dd_lsh_jaccard_verified": f"""
             WITH cands AS ({lsh_pairs_sql(LSH_MAX_BUCKET)}),
             arrs AS (

@@ -423,6 +423,20 @@ def main() -> None:
     with timed("lsh_pairs_capped"):
         extra["lsh_pairs_capped"] = dedup.minhash_lsh_pairs(
             pair_docs, max_bucket=100).count()
+    # incremental cross-batch dedup: the FULL docs table's band rows
+    # persisted once (store_build, the per-ingest cost), then a 2%
+    # batch probes the store with a broadcast join — probe cost is
+    # O(store scan + batch), never history² (compare lsh_pairs,
+    # which self-joins a 500-doc slice; the probe covers the whole
+    # table against a 50× bigger store for a similar price)
+    sig_store = f"{work}/sig_store"
+    with timed("sig_store_build"):
+        dedup.write_signature_store(
+            spark, docs.where(F.col("doc_id") % 50 != 0), sig_store)
+    with timed("incremental_dedup_probe"):
+        extra["incremental_pairs"] = dedup.incremental_lsh_pairs(
+            spark, docs.where(F.col("doc_id") % 50 == 0),
+            sig_store).count()
     with timed("jaccard_pairs"):
         extra["jaccard_pairs"] = dedup.ngram_jaccard_pairs(
             pair_docs, threshold=0.15).count()

@@ -77,6 +77,32 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return toks.groupBy("doc_id").agg(*_minhash_cols(k))
 
 
+def band_rows(docs: DataFrame, k: int = MINHASH_K,
+              bands: int = LSH_BANDS) -> DataFrame:
+    """LSH band relation (doc_id, band_id, band_hash): each doc's
+    signature grouped into ``bands`` band hashes (md5 of the
+    concatenated member minhashes — engine-portable, same value in
+    the DuckDB oracle).  Shared by the batch self-join path
+    (``minhash_lsh_pairs``) and the persisted signature store
+    (``write_signature_store`` / ``incremental_lsh_pairs``)."""
+    sigs = minhash_signatures(docs, k)
+    rows_per_band = k // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}")
+                                 for j in range(rows_per_band)]))
+         .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.col(f"band{b}").alias("band_hash"))
+            for b in range(bands)])).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
                       bands: int = LSH_BANDS,
                       max_bucket: int | None = 1000) -> DataFrame:
@@ -90,22 +116,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
     self-join (a broadcast anti-join against the tiny hot-bucket
     list); members of a dropped bucket still pair through their
     other, discriminative bands.  ``None`` disables the guard."""
-    sigs = minhash_signatures(docs, k)
-    rows_per_band = k // bands
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + j}")
-                                 for j in range(rows_per_band)]))
-         .alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    exploded = banded.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"),
-                     F.col(f"band{b}").alias("band_hash"))
-            for b in range(bands)])).alias("bb")
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    exploded = band_rows(docs, k, bands)
     if max_bucket is not None:
         hot = (exploded.groupBy("band_id", "band_hash")
                .agg(F.count("*").alias("c"))
@@ -520,3 +531,87 @@ def simhash_near_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= radius)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---- incremental cross-batch dedup (persisted signature store) -----
+#
+# The 100-TB operating mode for near-dup: a crawl arrives in daily
+# batches, and each batch must be deduped against EVERYTHING seen so
+# far without re-pairing (or even re-tokenizing) the history.  The
+# history's LSH band rows are hashed ONCE at ingest and persisted;
+# each new batch computes its own band rows (O(batch) tokenize+md5 —
+# the dominant cost of any minhash pass, see bench `minhash_sigs`),
+# probes the store with a broadcast join (the store is scanned in
+# place, never shuffled), and is then appended to the store.
+
+SIG_STORE_BUCKETS = 64
+
+
+def write_signature_store(spark, docs: DataFrame, store_dir: str,
+                          k: int = MINHASH_K, bands: int = LSH_BANDS,
+                          n_buckets: int = SIG_STORE_BUCKETS,
+                          append: bool = False) -> None:
+    """Persist ``band_rows(docs)`` under ``store_dir``, hive-dir
+    partitioned by ``bucket = xxhash64(band_hash) % n_buckets``.
+
+    The store holds ``bands`` 32-hex-char rows per doc — a few
+    hundred bytes/doc vs the corpus' tens of KB, so it stays
+    O(corpus row count), not O(corpus bytes).  Bucket partitioning
+    bounds per-file size and gives a shuffle-free co-location path
+    if a sort-merge probe is ever preferred over broadcast (both
+    sides can be repartitioned by the same bucket function); at
+    100 TB on a catalog you would use ``bucketBy`` table bucketing —
+    this is the plain-parquet analog.  ``append=True`` adds a new
+    batch (one new file set per bucket dir; compaction of small
+    files rides the same story as chunk compaction)."""
+    rows = band_rows(docs, k, bands).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("band_hash"), F.lit(n_buckets)).cast("int"))
+    (rows.repartition("bucket")
+     .write.mode("append" if append else "overwrite")
+     .partitionBy("bucket").parquet(store_dir))
+
+
+def incremental_lsh_pairs(spark, batch_docs: DataFrame, store_dir: str,
+                          k: int = MINHASH_K, bands: int = LSH_BANDS,
+                          max_bucket: int | None = 1000,
+                          broadcast_batch: bool = True) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) between a NEW batch
+    and everything in the signature store, plus batch-internal
+    pairs — exactly ``minhash_lsh_pairs(store ∪ batch)`` restricted
+    to pairs with ≥1 batch member, without ever re-hashing the
+    store's documents.
+
+    Scale shape: the batch's band rows are broadcast
+    (``bands`` small rows per batch doc), so the probe is ONE
+    map-side pass over the store scan — no store shuffle, no
+    history², O(store + batch + candidate pairs).  For a batch too
+    large to broadcast set ``broadcast_batch=False`` and the join
+    falls back to sort-merge on (band_id, band_hash).
+
+    ``max_bucket`` is the same degenerate-content guard as
+    ``minhash_lsh_pairs``, evaluated on COMBINED (store+batch)
+    bucket sizes but only for buckets the batch actually touches
+    (a broadcast semi-join restricts the count scan), so the result
+    equals the full self-join guard on every batch-involving pair."""
+    keys = ["band_id", "band_hash"]
+    batch = band_rows(batch_docs, k, bands)
+    store = (spark.read.parquet(store_dir)
+             .select("doc_id", *keys))
+    base = store.unionByName(batch)
+    if max_bucket is not None:
+        batch = batch.persist()
+        bkeys = batch.select(*keys).distinct()
+        hot = (base.join(F.broadcast(bkeys), keys, "left_semi")
+               .groupBy(*keys).agg(F.count("*").alias("c"))
+               .where(F.col("c") > max_bucket)
+               .select(*keys))
+        batch = batch.join(F.broadcast(hot), keys, "left_anti")
+        base = base.join(F.broadcast(hot), keys, "left_anti")
+    probe = F.broadcast(batch) if broadcast_batch else batch
+    a, b = base.alias("a"), probe.alias("b")
+    return (a.join(b, keys)
+            .where(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+            .distinct())

@@ -103,3 +103,98 @@ def test_dup_ngram_span_stats_brute_force(spark, small_docs):
     # coverage via overlapping intervals, zero-dup, sub-n-gram doc
     assert got[900003] == (9, 7, 9, 1.0)
     assert got[900005] == (2, 0, 0, 0.0)
+
+
+# ---- incremental cross-batch dedup --------------------------------
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_incremental_pairs_equal_full_selfjoin_filtered(
+        spark, small_docs, tmp_path):
+    """Store+broadcast-probe == minhash_lsh_pairs(store ∪ batch)
+    restricted to pairs with ≥1 batch member — the operator's
+    defining identity, uncapped and with the hot-bucket guard."""
+    store_docs = small_docs.where(F.col("doc_id") % 4 != 0)
+    batch_docs = small_docs.where(F.col("doc_id") % 4 == 0)
+    store = str(tmp_path / "sigstore")
+    dedup.write_signature_store(spark, store_docs, store)
+
+    for cap in (None, 3):
+        full = _pairs(dedup.minhash_lsh_pairs(small_docs,
+                                              max_bucket=cap))
+        want = {(a, b) for a, b in full if a % 4 == 0 or b % 4 == 0}
+        got = _pairs(dedup.incremental_lsh_pairs(
+            spark, batch_docs, store, max_bucket=cap))
+        assert got == want, f"cap={cap}"
+        # and the batch genuinely pairs with STORE docs, not just
+        # itself (otherwise the test proves nothing)
+        if cap is None:
+            assert any(a % 4 != 0 or b % 4 != 0 for a, b in got)
+
+
+def test_incremental_store_append_grows_coverage(spark, tmp_path):
+    """Day-2 batch appended to the store pairs with day-1 docs on a
+    later probe; probe results never mutate the store."""
+    day0 = spark.createDataFrame(
+        [(1, "spark shuffle partitions and broadcast joins at scale"),
+         (2, "an unrelated page about gardening tulips in spring")],
+        "doc_id long, text string")
+    day1 = spark.createDataFrame(
+        [(10, "spark shuffle partitions and broadcast joins at scale")],
+        "doc_id long, text string")
+    day2 = spark.createDataFrame(
+        [(20, "spark shuffle partitions and broadcast joins at scale"),
+         (21, "an unrelated page about gardening tulips in spring")],
+        "doc_id long, text string")
+    store = str(tmp_path / "store")
+    dedup.write_signature_store(spark, day0, store)
+
+    got1 = _pairs(dedup.incremental_lsh_pairs(spark, day1, store))
+    assert got1 == {(1, 10)}
+    dedup.write_signature_store(spark, day1, store, append=True)
+
+    got2 = _pairs(dedup.incremental_lsh_pairs(spark, day2, store))
+    assert got2 == {(1, 20), (10, 20), (2, 21)}
+
+
+def test_incremental_probe_broadcasts_batch_only(spark, small_docs,
+                                                 tmp_path):
+    """The probe plan broadcasts the BATCH band rows; the store scan
+    is never the build side of a broadcast (an unbounded store
+    broadcast would OOM executors at 100 TB)."""
+    store = str(tmp_path / "sigstore")
+    dedup.write_signature_store(
+        spark, small_docs.where(F.col("doc_id") % 4 != 0), store)
+    # max_bucket=None isolates the probe join: the ONLY broadcast in
+    # the plan must be the batch band rows (the guard's hot-list
+    # broadcast legitimately reads the store, but it is an
+    # aggregated, cap-bounded relation)
+    plan = (dedup.incremental_lsh_pairs(
+        spark, small_docs.where(F.col("doc_id") % 4 == 0), store,
+        max_bucket=None)
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+    # the store scan is the one FileScan whose ReadSchema carries
+    # band_hash (paths are truncated in plan strings; the batch side
+    # scans documents.parquet and derives its band rows)
+    def is_store_scan(line: str) -> bool:
+        return "FileScan" in line and "band_hash" in line
+
+    lines = plan.splitlines()
+    assert any(is_store_scan(ln) for ln in lines)  # it IS scanned...
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*(0123456789)"))
+
+    for i, line in enumerate(lines):  # ...but never under a broadcast
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        j = i + 1
+        while j < len(lines) and indent(lines[j]) > d:
+            assert not is_store_scan(lines[j]), lines[j]
+            j += 1
