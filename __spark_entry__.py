@@ -446,6 +446,15 @@ def _q_quality_quantile(spark, sf_dir):
         .select("doc_id", "source", "quality").orderBy("doc_id"))
 
 
+def _q_para_dedup(spark, sf_dir):
+    """Cross-document paragraph dedup (C4/RefinedWeb line rule):
+    a repeated trimmed line survives only at its first (doc_id,
+    position) occurrence; later copies are cut from their docs.
+    Linear in corpus paragraphs (md5 shuffle key, winner-row join
+    back) — runs over the full documents table."""
+    return pipeline.paragraph_dedup(_docs(spark, sf_dir))
+
+
 def _q_url_dedup(spark, sf_dir):
     """URL canonicalization + url-level dedup
     (pipeline.canonical_url_col / url_dedup): stage 0 of a crawl
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_sample": _q_sample,
         "pp_quality_quantile": _q_quality_quantile,
         "pp_url_dedup": _q_url_dedup,
+        "pp_para_dedup": _q_para_dedup,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1715,6 +1725,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r
             WHERE rk <= ceil(n * {PP_QUANTILE_KEEP})
             ORDER BY doc_id""",
+        # winner per md5(para) = first (doc_id, idx) — row_number
+        # twin of Spark's min(struct(doc_id, idx)) aggregate
+        "pp_para_dedup": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines
+              FROM documents),
+            paras AS (
+              SELECT doc_id, i AS idx, lines[i] AS para
+              FROM base, unnest(generate_series(1, len(lines)))
+                   AS g(i)
+              WHERE len(lines) >= 1),
+            ranked AS (
+              SELECT doc_id, idx, para,
+                     row_number() OVER (PARTITION BY md5(para)
+                                        ORDER BY doc_id, idx) AS rn
+              FROM paras),
+            reb AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(para, chr(10) ORDER BY idx)
+                         AS text_clean
+              FROM ranked WHERE rn = 1 GROUP BY doc_id),
+            sizes AS (SELECT doc_id, len(lines)::BIGINT AS n_paras
+                      FROM base)
+            SELECT s.doc_id, s.n_paras,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(r.text_clean, '') AS text_clean
+            FROM sizes s LEFT JOIN reb r USING (doc_id)""",
         "pp_url_dedup": f"""
             WITH raw AS (SELECT doc_id, {URL_SYNTH_SQL_DUCK} AS url
                          FROM documents),

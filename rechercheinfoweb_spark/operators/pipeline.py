@@ -366,3 +366,54 @@ def pack_token_shards(docs: DataFrame, budget: int,
             .withColumn("shard", F.expr(
                 f"(cum_tokens - n_tokens) div {int(budget)}"))
             .select("doc_id", "n_tokens", "cum_tokens", "shard"))
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-document paragraph dedup (the C4 / RefinedWeb line-level
+    rule): every trimmed non-empty line ("paragraph") that occurs
+    more than once in the corpus survives ONLY at its first
+    occurrence in (doc_id, position) order; all later copies are cut
+    from their documents.  Catches the boilerplate that document-
+    level dedup can't (nav bars, cookie banners, license footers
+    pasted into otherwise-unique pages).
+
+    Returns (doc_id, n_paras, n_kept, text_clean) for EVERY input
+    doc — ``n_paras`` pre-dedup paragraph count, ``text_clean`` the
+    survivors rejoined with newlines ('' when nothing survives;
+    blank-line structure is not preserved).
+
+    Scale shape: paragraphs are grouped on md5(para) — a fixed-width
+    shuffle key, the full text never keys an exchange.  The winner
+    per hash is one min(struct(doc_id, idx)) aggregate (map-side
+    partial); the join back is winner-row × duplicate-rows = linear
+    in corpus paragraphs, never quadratic.  A mega-hot boilerplate
+    paragraph (10^8 copies at 100 TB) lands on one reducer as a
+    PLAIN count-style skew — AQE skew-join splitting applies; no
+    guard needed because each duplicate row meets exactly one
+    winner row.  Reconstruction is one groupBy(doc_id) over
+    (idx, para) pairs."""
+    from .textstats import _lines_col
+    lines = _lines_col()
+    sizes = docs.select(
+        "doc_id", F.size(lines).cast("long").alias("n_paras"))
+    paras = docs.select(
+        "doc_id", F.posexplode(lines).alias("idx", "para"))
+    paras = paras.withColumn("h", F.md5("para"))
+    win = (paras.groupBy("h")
+           .agg(F.min(F.struct("doc_id", "idx")).alias("w")))
+    kept = (paras.join(win, "h")
+            .where((F.col("doc_id") == F.col("w.doc_id"))
+                   & (F.col("idx") == F.col("w.idx")))
+            .select("doc_id", "idx", "para"))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.concat_ws("\n", F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "para"))),
+                        lambda s: s["para"])).alias("text_clean")))
+    return (sizes.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                     .alias("n_kept"),
+                    F.coalesce("text_clean", F.lit(""))
+                     .alias("text_clean")))

@@ -375,3 +375,53 @@ def test_pack_token_shards_brute_force_and_parallelism(spark,
     # repartitioned input must produce the identical assignment
     assert run(small_docs.repartition(7)) == got
     assert run(small_docs.coalesce(1)) == got
+
+
+def test_paragraph_dedup_brute_force(spark, small_docs):
+    """paragraph_dedup == a python reimplementation of the C4 line
+    rule (first (doc_id, idx) occurrence of each trimmed non-empty
+    line wins), on real corpus text plus crafted docs covering:
+    cross-doc boilerplate, within-doc repeats, blank-line-only docs,
+    and winner order across doc ids."""
+    from pyspark.sql import functions as F
+    crafted = spark.createDataFrame(
+        [(800001, "COOKIE BANNER\nunique alpha content\n"
+                  "COOKIE BANNER"),             # within-doc repeat
+         (800002, "COOKIE BANNER\nfresh beta paragraph"),  # cross-doc
+         (800003, "  \n\n   \n"),               # blank lines only
+         (800004, "fresh beta paragraph"),      # whole doc duplicated
+         (800005, "   unique alpha content  \nnever seen line")],
+        "doc_id long, text string")             # trim collision
+    docs = small_docs.unionByName(crafted)
+
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    first: dict[str, tuple] = {}
+    want = {}
+    for r in rows:
+        lines = [ln.strip() for ln in r["text"].split("\n")]
+        lines = [ln for ln in lines if ln]
+        kept = []
+        for i, ln in enumerate(lines):
+            if ln not in first:
+                first[ln] = (r["doc_id"], i)
+                kept.append(ln)
+        want[r["doc_id"]] = (len(lines), len(kept), "\n".join(kept))
+
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+           for r in pipeline.paragraph_dedup(docs).collect()}
+    assert got == want
+    # crafted expectations hit the branches explicitly
+    assert got[800001][1] == 2          # second banner copy cut
+    assert got[800002] == (2, 1, "fresh beta paragraph")
+    assert got[800003] == (0, 0, "")    # blank doc -> empty, kept row
+    assert got[800004] == (1, 0, "")    # fully-duplicated doc emptied
+    assert got[800005][1] == 1          # trimmed line collides
+
+
+def test_paragraph_dedup_partitioning_invariant(spark, small_docs):
+    """Winners depend only on (doc_id, idx) order — never on physical
+    layout: 1-partition and 16-partition inputs agree exactly."""
+    a = pipeline.paragraph_dedup(small_docs.repartition(1)).collect()
+    b = pipeline.paragraph_dedup(small_docs.repartition(16)).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
