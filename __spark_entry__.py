@@ -446,6 +446,20 @@ def _q_quality_quantile(spark, sf_dir):
         .select("doc_id", "source", "quality").orderBy("doc_id"))
 
 
+def _q_nb_quality(spark, sf_dir):
+    """Model-based quality gate (CCNet/GPT-3 stage): multinomial
+    Naive Bayes trained on a deterministic pseudo-label split
+    (pos = doc_id%7==0, neg = doc_id%7==3), scoring every doc.
+    Closed-form training (two count aggs + full-outer join), model
+    broadcast at score time."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.where(F.col("doc_id") % 7 == 0)
+    neg = docs.where(F.col("doc_id") % 7 == 3)
+    model, meta = pipeline.train_quality_nb(pos, neg)
+    return pipeline.nb_quality_score(docs, model,
+                                     prior=meta["prior"])
+
+
 def _q_para_dedup(spark, sf_dir):
     """Cross-document paragraph dedup (C4/RefinedWeb line rule):
     a repeated trimmed line survives only at its first (doc_id,
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_quality_quantile": _q_quality_quantile,
         "pp_url_dedup": _q_url_dedup,
         "pp_para_dedup": _q_para_dedup,
+        "pp_nb_quality": _q_nb_quality,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
@@ -1725,6 +1740,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, quality FROM r
             WHERE rk <= ceil(n * {PP_QUANTILE_KEEP})
             ORDER BY doc_id""",
+        # NB training recomputed relationally: Laplace-smoothed
+        # log-likelihood ratios over the joint vocabulary, prior =
+        # ln(n_pos/n_neg); OOV terms contribute nothing (inner join)
+        "pp_nb_quality": f"""
+            WITH ptok AS (
+              SELECT term, count(*) AS cp FROM ({_SQL_TOKS_NE})
+              WHERE doc_id % 7 = 0 GROUP BY term),
+            ntok AS (
+              SELECT term, count(*) AS cn FROM ({_SQL_TOKS_NE})
+              WHERE doc_id % 7 = 3 GROUP BY term),
+            counts AS (
+              SELECT coalesce(p.term, n.term) AS term,
+                     coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+              FROM ptok p FULL OUTER JOIN ntok n ON p.term = n.term),
+            stats AS (SELECT count(*) AS v, sum(cp) AS tp,
+                             sum(cn) AS tn FROM counts),
+            model AS (
+              SELECT term,
+                     ln((cp + 1) / (tp + v)::DOUBLE)
+                   - ln((cn + 1) / (tn + v)::DOUBLE) AS llr
+              FROM counts, stats),
+            prior AS (
+              SELECT ln((SELECT count(*) FROM documents
+                         WHERE doc_id % 7 = 0)::DOUBLE
+                      / (SELECT count(*) FROM documents
+                         WHERE doc_id % 7 = 3)) AS p),
+            tf AS ({_SQL_TF}),
+            s AS (SELECT doc_id, sum(tf * llr) AS s
+                  FROM tf JOIN model USING (term) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(s.s, 0) + prior.p, 6) AS nb_score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN s USING (doc_id), prior""",
         # winner per md5(para) = first (doc_id, idx) — row_number
         # twin of Spark's min(struct(doc_id, idx)) aggregate
         "pp_para_dedup": """

@@ -476,6 +476,12 @@ def main() -> None:
         from rechercheinfoweb_spark.operators import pipeline
         extra["pipeline_survivors"] = pipeline.clean_corpus(
             docs, lang="en", min_quality=0.42).count()
+    # C4 line rule over the full docs table: linear in paragraphs
+    # (md5 winner agg + join back + per-doc rebuild)
+    with timed("paragraph_dedup"):
+        extra["para_dedup_kept"] = int(pipeline.paragraph_dedup(docs)
+                                       .agg(F.sum("n_kept"))
+                                       .collect()[0][0])
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -504,6 +510,16 @@ def main() -> None:
             emb, threshold=0.15, n_lists=64).count()
 
     total = round(sum(timings.values()), 3)
+    # like-for-like continuity: the bench gains sections every round,
+    # so the raw total is not comparable round-over-round — this is
+    # the sum over the round-2 query set only
+    r2_keys = ("corpus_gen index_build refresh_metadata_only "
+               "bm25_wand_topk tfidf_topk local_serve_200q boolean "
+               "quality_score minhash_sigs lsh_pairs jaccard_pairs "
+               "ann_cosine ann_lsh ann_index_build ann_index_probe"
+               ).split()
+    extra["total_r2_query_subset"] = round(
+        sum(timings.get(k, 0.0) for k in r2_keys), 3)
     print(json.dumps({
         "metric": "riw_spark_bench_total",
         "value": total,

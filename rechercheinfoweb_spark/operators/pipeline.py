@@ -417,3 +417,78 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
                      .alias("n_kept"),
                     F.coalesce("text_clean", F.lit(""))
                      .alias("text_clean")))
+
+
+def train_quality_nb(pos_docs: DataFrame, neg_docs: DataFrame,
+                     min_count: int = 1):
+    """Train a multinomial Naive-Bayes quality classifier (the
+    CCNet / GPT-3 pipeline stage: label a 'good' reference corpus
+    positive, random crawl negative, keep pages the model scores
+    high).  Returns ``(model, meta)`` — ``model`` a (term, llr)
+    DataFrame where llr = ln P(t|pos) − ln P(t|neg) with Laplace
+    smoothing over the joint vocabulary, ``meta`` the scalars
+    (vocab size, class token totals, doc counts, log-prior).
+
+    Closed-form training = two token-count aggregations and one
+    full-outer join — no iterative SGD, no driver-side loops; the
+    only ``collect`` is five scalars.  ``min_count`` drops rare
+    terms BEFORE the totals so the model (broadcast at score time)
+    stays bounded at 100 TB: vocabulary grows ~Heaps n^0.5, and the
+    cutoff caps it hard."""
+    from .textstats import tokens_col
+
+    def _counts(d: DataFrame, name: str) -> DataFrame:
+        return (d.select(F.explode(tokens_col()).alias("term"))
+                .groupBy("term").agg(F.count("*").alias(name)))
+
+    counts = (_counts(pos_docs, "cp")
+              .join(_counts(neg_docs, "cn"), "term", "full_outer")
+              .select("term",
+                      F.coalesce("cp", F.lit(0)).alias("cp"),
+                      F.coalesce("cn", F.lit(0)).alias("cn")))
+    if min_count > 1:
+        counts = counts.where(
+            F.col("cp") + F.col("cn") >= min_count)
+    counts = counts.persist()
+    agg = counts.agg(F.count("*").alias("v"),
+                     F.sum("cp").alias("tp"),
+                     F.sum("cn").alias("tn")).collect()[0]
+    v = int(agg["v"])
+    tot_p, tot_n = int(agg["tp"] or 0), int(agg["tn"] or 0)
+    n_pos, n_neg = pos_docs.count(), neg_docs.count()
+    import math
+    prior = math.log(n_pos / n_neg) if n_pos and n_neg else 0.0
+    model = counts.select(
+        "term",
+        (F.log((F.col("cp") + 1) / F.lit(float(tot_p + v)))
+         - F.log((F.col("cn") + 1) / F.lit(float(tot_n + v))))
+        .alias("llr"))
+    meta = {"vocab": v, "tot_pos": tot_p, "tot_neg": tot_n,
+            "n_pos": n_pos, "n_neg": n_neg, "prior": prior}
+    return model, meta
+
+
+def nb_quality_score(docs: DataFrame, model: DataFrame,
+                     prior: float = 0.0) -> DataFrame:
+    """Score every doc with the trained NB model:
+    nb_score = Σ_t tf(t) · llr(t) + prior, over terms the model
+    knows (out-of-vocabulary terms contribute nothing — the join
+    drops them, same rule as the oracle); docs with zero known
+    terms score exactly ``prior``.  Rounded to 6 decimals (the
+    repo's float-oracle convention — ln/summation-order last-ulp
+    noise sits ~1e-11, far under the rounding grain).
+
+    Scale shape: the model is BROADCAST (vocabulary-bounded via
+    ``min_count``, never corpus-sized), so the corpus is never
+    shuffled on term strings; the only exchanges are the two
+    partial-aggregated doc-keyed groupBys."""
+    tf = (docs.select("doc_id",
+                      F.explode(tokens_col()).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    s = (tf.join(F.broadcast(model), "term")
+         .groupBy("doc_id")
+         .agg(F.sum(F.col("tf") * F.col("llr")).alias("s")))
+    return (docs.select("doc_id").join(s, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.coalesce("s", F.lit(0.0))
+                            + F.lit(prior), 6).alias("nb_score")))

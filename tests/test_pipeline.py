@@ -425,3 +425,63 @@ def test_paragraph_dedup_partitioning_invariant(spark, small_docs):
     b = pipeline.paragraph_dedup(small_docs.repartition(16)).collect()
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_nb_quality_brute_force(spark):
+    """train_quality_nb/nb_quality_score == a python multinomial-NB
+    reimplementation (Laplace smoothing over the joint vocabulary,
+    OOV terms skipped, empty/OOV docs score exactly the prior)."""
+    import math
+    import re
+    pos_rows = [(0, "clean prose with varied informative words here"),
+                (7, "another well formed sentence about information")]
+    neg_rows = [(3, "buy buy buy cheap cheap spam spam spam"),
+                (10, "spam click here buy now cheap")]
+    score_rows = pos_rows + neg_rows + [
+        (20, "informative prose about information"),  # pos-ish
+        (21, "cheap spam buy"),                       # neg-ish
+        (22, "zzz qqq xxx"),                          # fully OOV
+        (23, "")]                                     # empty
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(score_rows,
+                                 "doc_id long, text string")
+
+    model, meta = pipeline.train_quality_nb(pos, neg)
+    got = {r["doc_id"]: r["nb_score"]
+           for r in pipeline.nb_quality_score(
+               docs, model, prior=meta["prior"]).collect()}
+
+    tok = lambda t: [x for x in re.split(r"[^a-zA-Z0-9]+", t) if x]  # noqa: E731
+    from collections import Counter
+    cp = Counter(w for _, t in pos_rows for w in tok(t))
+    cn = Counter(w for _, t in neg_rows for w in tok(t))
+    vocab = set(cp) | set(cn)
+    v, tp, tn = len(vocab), sum(cp.values()), sum(cn.values())
+    llr = {w: math.log((cp[w] + 1) / (tp + v))
+           - math.log((cn[w] + 1) / (tn + v)) for w in vocab}
+    prior = math.log(len(pos_rows) / len(neg_rows))
+    want = {d: round(sum(llr[w] for w in tok(t) if w in llr) + prior,
+                     6)
+            for d, t in score_rows}
+    assert got == want
+    assert meta["vocab"] == v and meta["tot_pos"] == tp
+    # direction sanity + the OOV/empty rule
+    assert got[20] > 0 > got[21]
+    assert got[22] == got[23] == round(prior, 6)
+
+
+def test_nb_quality_min_count_bounds_model(spark):
+    """min_count drops rare terms BEFORE totals: the model is
+    smaller and totals shrink consistently (the broadcast-size
+    guard for 100-TB vocabularies)."""
+    pos = spark.createDataFrame(
+        [(0, "common common common rare1")],
+        "doc_id long, text string")
+    neg = spark.createDataFrame(
+        [(1, "common rare2 rare2")], "doc_id long, text string")
+    m1, meta1 = pipeline.train_quality_nb(pos, neg, min_count=1)
+    m3, meta3 = pipeline.train_quality_nb(pos, neg, min_count=3)
+    assert meta1["vocab"] == 3 and meta3["vocab"] == 1
+    assert {r["term"] for r in m3.collect()} == {"common"}
+    assert meta3["tot_pos"] == 3 and meta3["tot_neg"] == 1
