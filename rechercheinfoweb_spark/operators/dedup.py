@@ -600,7 +600,12 @@ def incremental_lsh_pairs(spark, batch_docs: DataFrame, store_dir: str,
              .select("doc_id", *keys))
     base = store.unionByName(batch)
     if max_bucket is not None:
-        batch = batch.persist()
+        # the batch relation feeds three branches (bkeys, anti-join,
+        # probe) and is deliberately NOT persisted: it is small by
+        # assumption (broadcastable), so recomputing its band rows
+        # costs O(batch) tokenize+md5, while a lingering cache in a
+        # long-lived ingest session is a real leak (the module's
+        # deterministic-release rule)
         bkeys = batch.select(*keys).distinct()
         hot = (base.join(F.broadcast(bkeys), keys, "left_semi")
                .groupBy(*keys).agg(F.count("*").alias("c"))

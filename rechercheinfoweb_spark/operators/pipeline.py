@@ -463,6 +463,12 @@ def train_quality_nb(pos_docs: DataFrame, neg_docs: DataFrame,
         (F.log((F.col("cp") + 1) / F.lit(float(tot_p + v)))
          - F.log((F.col("cn") + 1) / F.lit(float(tot_n + v))))
         .alias("llr"))
+    # eager finalize: the model is vocabulary-bounded (it gets
+    # broadcast at score time), so materialize it and release the
+    # cached counts deterministically (long-lived sessions must not
+    # accumulate fat intermediates)
+    model = model.localCheckpoint()
+    counts.unpersist()
     meta = {"vocab": v, "tot_pos": tot_p, "tot_neg": tot_n,
             "n_pos": n_pos, "n_neg": n_neg, "prior": prior}
     return model, meta
