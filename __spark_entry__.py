@@ -711,6 +711,81 @@ def _q_ann_index(spark, sf_dir):
                                      [float(x) for x in qv], k=20)
 
 
+PQ_M = 8           # 8 sub-codes over dim 64
+PQ_CODES = 16
+PQ_SEED = 13
+
+
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization path: vectors encoded once to m sub-codes
+    (32x smaller than float32), top-k by ADC over a literal lookup
+    table (pure Catalyst scan).  The contract pins the seeded
+    codebooks so the oracle can re-derive encoding AND scores."""
+    import tempfile
+    key = _content_key(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"riw_pq_{key}")
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    books = similarity.pq_codebooks(dim, PQ_M, PQ_CODES, PQ_SEED)
+    if not os.path.exists(os.path.join(out, "pq_meta.json")):
+        similarity.build_pq_index(spark, emb, out, books=books)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.pq_index_topk(spark, out,
+                                    [float(x) for x in qv], k=20)
+
+
+def _sql_pq_topk(dim: int = 64, k: int = 20) -> str:
+    """Oracle for ann_pq_topk: the ENTIRE PQ pipeline re-derived
+    relationally — seeded codebooks as literals, per-subspace
+    rounded-L2 assignment (row_number = the kernel's first-min tie
+    rule), ADC lookup-table sum."""
+    books = similarity.pq_codebooks(dim, PQ_M, PQ_CODES, PQ_SEED)
+    dsub = dim // PQ_M
+    rows = []
+    for s in range(PQ_M):
+        for j in range(PQ_CODES):
+            vec = ", ".join(repr(float(x)) for x in books[s, j])
+            rows.append(f"({s}, {j}, [{vec}]::DOUBLE[])")
+    books_cte = ("books(s, j, c) AS (VALUES\n            "
+                 + ",\n            ".join(rows) + ")")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id,
+                      list_transform(v, x -> x
+                          / greatest(sqrt(list_dot_product(v, v)),
+                                     1e-12)) AS v
+               FROM e),
+        {books_cte},
+        q AS (SELECT v AS qv FROM en WHERE vec_id = 0),
+        lut AS (SELECT s, j,
+                       round(list_dot_product(
+                           list_slice(q.qv, s*{dsub}+1, s*{dsub}+{dsub}),
+                           c), 6) AS val
+                FROM books, q),
+        dists AS (
+          SELECT en.vec_id, b.s, b.j,
+                 round(list_dot_product(vs.vs, vs.vs)
+                       - 2 * list_dot_product(vs.vs, b.c)
+                       + list_dot_product(b.c, b.c), 6) AS d
+          FROM en CROSS JOIN books b,
+               LATERAL (SELECT list_slice(en.v, b.s*{dsub}+1,
+                                          b.s*{dsub}+{dsub}) AS vs)
+                   vs),
+        assign AS (
+          SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, j ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        scores AS (
+          SELECT a.vec_id, round(sum(l.val), 6) AS adc_score
+          FROM assign a JOIN lut l ON a.s = l.s AND a.j = l.j
+          GROUP BY a.vec_id)
+        SELECT vec_id, adc_score FROM scores
+        ORDER BY adc_score DESC, vec_id ASC LIMIT {k}"""
+
+
 IVF_N_LISTS = 32   # ≈16 vectors/list at sf0.01
 IVF_N_PROBE = 8
 IVF_SEED = 11
@@ -1171,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_index_topk": _q_ann_index,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "dd_embed_near_pairs": _q_embed_near_pairs,
         "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
         "dd_semantic_pairs": _q_semantic_pairs,
@@ -1633,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_probe(),
         "ann_index_topk": _sql_ann_probe(),
         "ann_ivf_topk": _sql_ivf_topk(),
+        "ann_pq_topk": _sql_pq_topk(),
         "dd_embed_near_pairs_lsh": _sql_embed_lsh_pairs(),
         "dd_simhash": f"""
             WITH {_sql_simhash()}

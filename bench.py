@@ -503,6 +503,17 @@ def main() -> None:
     similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
     with timed("ann_ivf_probe"):
         similarity.ivf_topk(spark, ivf_dir, qv, k=20).collect()
+    # PQ: corpus side quantized to m sub-codes, probe = literal-LUT
+    # ADC scan (pure Catalyst); codes bytes vs raw vectors is the
+    # at-scale storage win
+    pq_dir = f"{work}/pq"
+    with timed("ann_pq_build"):
+        similarity.build_pq_index(spark, emb, pq_dir)
+    similarity.pq_index_topk(spark, pq_dir, qv, k=20).collect()
+    with timed("ann_pq_probe"):
+        similarity.pq_index_topk(spark, pq_dir, qv, k=20).collect()
+    extra["pq_codes_bytes"] = _du(f"{pq_dir}/codes")
+    extra["emb_table_bytes"] = _du(f"{sf_dir}/embeddings.parquet")
     # SemDedup: centroid-quantized cluster-scoped near-dup — pair
     # work is sum(cluster^2), never corpus^2
     with timed("semantic_dedup"):

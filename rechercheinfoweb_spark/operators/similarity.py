@@ -526,3 +526,177 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.15, *,
                                  **kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(drop, id_col, "left_anti")
+
+
+# ---- product quantization (IVFADC-style compressed vectors) --------
+#
+# At 10^12 embeddings the raw vectors dominate storage (64-dim
+# float32 = 256 B each); PQ stores m sub-codes (here m bytes) per
+# vector — 32x smaller — and answers top-k by ADC (asymmetric
+# distance computation: the QUERY stays exact, only the corpus side
+# is quantized).  The scan over codes is pure Catalyst (a literal
+# lookup table + transform/aggregate), no Python in the hot path.
+
+
+def pq_codebooks(dim: int, m: int = 8, n_codes: int = 16,
+                 seed: int = 13) -> np.ndarray:
+    """Data-independent seeded codebooks (m, n_codes, dim//m) — the
+    oracle-able quantizer (same role as :func:`seeded_anchors` for
+    IVF).  Entries scaled ~1/sqrt(dim) to match unit-vector
+    component magnitude."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, n_codes, dim // m)) / np.sqrt(dim)
+
+
+def train_pq_codebooks(sample: np.ndarray, m: int = 8,
+                       n_codes: int = 16, n_iters: int = 10,
+                       seed: int = 13) -> np.ndarray:
+    """Per-subspace Lloyd k-means over an L2-normalized sample —
+    deterministic (seeded distinct-point init, first-min ties,
+    empty clusters keep their previous centroid).  Like
+    :func:`train_ivf_centroids`, a bounded driver-side numpy job
+    trains codebooks for a corpus of any size."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                    1e-12, None)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = pq_codebooks(dim, m, n_codes, seed)
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        init = rng.choice(len(xs), size=min(n_codes, len(xs)),
+                          replace=False)
+        c = books[s].copy()
+        c[:len(init)] = xs[np.sort(init)]
+        for _ in range(n_iters):
+            d = (np.square(xs).sum(1, keepdims=True)
+                 - 2 * xs @ c.T + np.square(c).sum(1))
+            assign = np.argmin(d, axis=1)
+            for j in range(n_codes):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def _pq_encode_kernel(books: np.ndarray, id_col: str, vec_col: str,
+                      round_to: int):
+    """mapInPandas: (id, vec) → (id, codes) — vectors L2-normalized,
+    per-subspace argmin over ROUNDED squared distances (first-min =
+    lowest code, the tie rule the SQL oracle mirrors)."""
+    m, n_codes, dsub = books.shape
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col].to_numpy()])
+            v = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True),
+                            1e-12, None)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                vs = v[:, s * dsub:(s + 1) * dsub]
+                c = books[s]
+                d = (np.square(vs).sum(1, keepdims=True)
+                     - 2 * vs @ c.T + np.square(c).sum(1))
+                codes[:, s] = np.argmin(np.round(d, round_to), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return fn
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              round_to: int = 6) -> DataFrame:
+    """(id, codes array<int>) — one matmul batch kernel per
+    subspace; output rows are m small ints per vector regardless of
+    dim (the 32x storage win)."""
+    books = np.asarray(books, dtype=np.float64)
+    return (emb.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>")
+                        .alias(vec_col))
+            .mapInPandas(
+                _pq_encode_kernel(books, id_col, vec_col, round_to),
+                schema=f"{id_col} long, codes array<int>"))
+
+
+def pq_adc_topk(codes: DataFrame, books: np.ndarray,
+                query_vec, k: int = 20, id_col: str = "vec_id",
+                round_to: int = 6) -> DataFrame:
+    """ADC top-k over encoded vectors: lut[s][j] = <q_s, c_sj> with
+    the query L2-normalized, score = Σ_s lut[s][codes[s]] ≈ cosine
+    (corpus vectors were normalized at encode time).  The lookup
+    table is a LITERAL array, the scan is transform+aggregate —
+    whole-stage codegen, no join, no Python."""
+    books = np.asarray(books, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.round(
+        np.stack([books[s] @ q[s * dsub:(s + 1) * dsub]
+                  for s in range(m)]), round_to)  # (m, n_codes)
+    flat = F.array(*[F.lit(float(x)) for x in lut.ravel()])
+    looked = F.transform(
+        "codes",
+        lambda c, i: F.element_at(flat, (i * n_codes + c + 1)
+                                  .cast("int")))
+    score = F.round(
+        F.aggregate(looked, F.lit(0.0), lambda a, x: a + x),
+        round_to)
+    return (codes.select(id_col, score.alias("adc_score"))
+            .orderBy(F.col("adc_score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def build_pq_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+                   *, books: np.ndarray | None = None, m: int = 8,
+                   n_codes: int = 16, sample_size: int = 4096,
+                   seed: int = 13, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_to: int = 6) -> dict:
+    """Encode the corpus once and persist (id, codes) + codebooks.
+    Pass ``books`` to pin the quantizer (the contract does, with
+    :func:`pq_codebooks`); default trains per-subspace k-means on an
+    id-ordered sample.  The codes table is what a 10^12-vector scan
+    reads — m bytes/vector instead of 4·dim."""
+    if books is None:
+        rows = (emb.select(vec_col).orderBy(id_col)
+                .limit(sample_size).collect())
+        dim = len(rows[0][0])
+        books = train_pq_codebooks(
+            np.array([r[0] for r in rows]), m, n_codes, seed=seed)
+    books = np.asarray(books, dtype=np.float64)
+    (pq_encode(emb, books, id_col, vec_col, round_to)
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "codes")))
+    meta = {"kind": "pq", "m": int(books.shape[0]),
+            "n_codes": int(books.shape[1]),
+            "dim": int(books.shape[0] * books.shape[2]),
+            "round_to": round_to, "id_col": id_col,
+            "books": [[[float(x) for x in row] for row in b]
+                      for b in books]}
+    with open(os.path.join(out_dir, "pq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_index_topk(spark: SparkSession, index_dir: str, query_vec,
+                  k: int = 20) -> DataFrame:
+    """Probe a persisted PQ index: read codes, ADC-scan, top-k."""
+    with open(os.path.join(index_dir, "pq_meta.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return pq_adc_topk(codes, np.array(meta["books"]), query_vec,
+                       k=k, id_col=meta["id_col"],
+                       round_to=meta["round_to"])

@@ -187,3 +187,65 @@ def test_semantic_dedup_trained_centroids(spark, clustered_emb):
     assert len(want & got) / len(want) >= 0.95
     # and no false positives: every found pair is a true near-dup
     assert all(a // 5 == b // 5 for a, b in got)
+
+
+# ---- product quantization ------------------------------------------
+
+
+def test_pq_encode_matches_numpy(spark, clustered_emb):
+    """pq_encode == a direct numpy reimplementation (normalize,
+    per-subspace rounded-L2 argmin, first-min ties)."""
+    books = similarity.pq_codebooks(32, m=4, n_codes=8, seed=13)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in similarity.pq_encode(
+               clustered_emb, books).collect()}
+    rows = clustered_emb.collect()
+    m, _, dsub = books.shape
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        want = []
+        for s in range(m):
+            vs = v[s * dsub:(s + 1) * dsub]
+            d = np.square(vs - books[s]).sum(axis=1)
+            want.append(int(np.argmin(np.round(d, 6))))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_adc_recall_vs_exact(spark, clustered_emb, tmp_path):
+    """ADC over the persisted PQ index must put most of the true
+    top-k (the query's own jittered cluster) in its top-k — the
+    quantizer loses precision, not the neighborhood structure — and
+    trained codebooks must not be worse than seeded ones."""
+    out = str(tmp_path / "pq")
+    qv = clustered_emb.where("vec_id = 0").collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(
+        clustered_emb, qv, k=5).collect()]
+
+    books = similarity.pq_codebooks(32, m=8, n_codes=16, seed=13)
+    similarity.build_pq_index(spark, clustered_emb, out, books=books)
+    got = [r["vec_id"] for r in similarity.pq_index_topk(
+        spark, out, qv, k=5).collect()]
+    seeded_recall = len(set(got) & set(exact)) / len(exact)
+    assert seeded_recall >= 0.6
+
+    sample = np.array([r["embedding"] for r in
+                       clustered_emb.orderBy("vec_id").collect()])
+    trained = similarity.train_pq_codebooks(sample, m=8, n_codes=16)
+    similarity.build_pq_index(spark, clustered_emb, out,
+                              books=trained)
+    got_t = [r["vec_id"] for r in similarity.pq_index_topk(
+        spark, out, qv, k=5).collect()]
+    trained_recall = len(set(got_t) & set(exact)) / len(exact)
+    assert trained_recall >= seeded_recall
+
+
+def test_pq_codes_are_m_small_ints(spark, clustered_emb, tmp_path):
+    """The storage contract: every vector becomes exactly m codes in
+    [0, n_codes) — the 32x-at-scale compression surface."""
+    books = similarity.pq_codebooks(32, m=4, n_codes=8, seed=13)
+    rows = similarity.pq_encode(clustered_emb, books).collect()
+    assert len(rows) == clustered_emb.count()
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
