@@ -791,6 +791,105 @@ IVF_N_PROBE = 8
 IVF_SEED = 11
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVFADC composition: coarse seeded-anchor lists + PQ sub-codes
+    built in one pass, probe = n_probe list dirs of an ADC-only scan
+    (raw vectors never read at query time)."""
+    import tempfile
+    key = _content_key(f"{sf_dir}/embeddings.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"riw_ivfpq_{key}")
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    if not os.path.exists(os.path.join(out, "ivfpq_meta.json")):
+        similarity.build_ivfpq_index(
+            spark, emb, out,
+            centroids=similarity.seeded_anchors(dim, IVF_N_LISTS,
+                                                IVF_SEED),
+            books=similarity.pq_codebooks(dim, PQ_M, PQ_CODES,
+                                          PQ_SEED))
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.ivfpq_topk(spark, out, [float(x) for x in qv],
+                                 k=20, n_probe=IVF_N_PROBE)
+
+
+def _sql_ivfpq_topk(dim: int = 64, k: int = 20) -> str:
+    """Oracle for ann_ivfpq_topk: IVF assignment + probe-list CTEs
+    (the _sql_ivf_topk rules) composed with the PQ encode + ADC CTEs
+    (the _sql_pq_topk rules), candidates restricted to probed
+    lists."""
+    anchors = similarity.seeded_anchors(dim, IVF_N_LISTS, IVF_SEED)
+    crows = []
+    for i, c in enumerate(anchors):
+        vec = ", ".join(repr(float(x)) for x in c)
+        crows.append(f"({i}, [{vec}]::DOUBLE[])")
+    cent = ("cent(list_id, c) AS (VALUES\n            "
+            + ",\n            ".join(crows) + ")")
+    books = similarity.pq_codebooks(dim, PQ_M, PQ_CODES, PQ_SEED)
+    dsub = dim // PQ_M
+    brows = []
+    for s in range(PQ_M):
+        for j in range(PQ_CODES):
+            vec = ", ".join(repr(float(x)) for x in books[s, j])
+            brows.append(f"({s}, {j}, [{vec}]::DOUBLE[])")
+    books_cte = ("books(s, j, c) AS (VALUES\n            "
+                 + ",\n            ".join(brows) + ")")
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        {cent},
+        coarse AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, cent.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_dot_product(e.v, cent.c),
+                                    6) DESC,
+                              cent.list_id ASC) AS rn
+            FROM e CROSS JOIN cent) t
+          WHERE rn = 1),
+        qraw AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        probe AS (SELECT cent.list_id FROM cent, qraw
+                  ORDER BY round(list_dot_product(qraw.qv, cent.c),
+                                 6) DESC,
+                           cent.list_id ASC
+                  LIMIT {IVF_N_PROBE}),
+        en AS (SELECT vec_id,
+                      list_transform(v, x -> x
+                          / greatest(sqrt(list_dot_product(v, v)),
+                                     1e-12)) AS v
+               FROM e),
+        {books_cte},
+        q AS (SELECT v AS qv FROM en WHERE vec_id = 0),
+        lut AS (SELECT s, j,
+                       round(list_dot_product(
+                           list_slice(q.qv, s*{dsub}+1, s*{dsub}+{dsub}),
+                           c), 6) AS val
+                FROM books, q),
+        cand AS (SELECT en.vec_id, en.v FROM en
+                 JOIN coarse USING (vec_id)
+                 WHERE coarse.list_id IN (SELECT list_id FROM probe)),
+        dists AS (
+          SELECT cand.vec_id, b.s, b.j,
+                 round(list_dot_product(vs.vs, vs.vs)
+                       - 2 * list_dot_product(vs.vs, b.c)
+                       + list_dot_product(b.c, b.c), 6) AS d
+          FROM cand CROSS JOIN books b,
+               LATERAL (SELECT list_slice(cand.v, b.s*{dsub}+1,
+                                          b.s*{dsub}+{dsub}) AS vs)
+                   vs),
+        assign AS (
+          SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, j ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        scores AS (
+          SELECT a.vec_id, round(sum(l.val), 6) AS adc_score
+          FROM assign a JOIN lut l ON a.s = l.s AND a.j = l.j
+          GROUP BY a.vec_id)
+        SELECT vec_id, adc_score FROM scores
+        ORDER BY adc_score DESC, vec_id ASC LIMIT {k}"""
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN path: vectors partitioned into Voronoi lists, query
     probes the n_probe nearest lists by explicit path.  The contract
@@ -1247,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": _q_ann_index,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "dd_embed_near_pairs": _q_embed_near_pairs,
         "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
         "dd_semantic_pairs": _q_semantic_pairs,
@@ -1710,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_topk": _sql_ann_probe(),
         "ann_ivf_topk": _sql_ivf_topk(),
         "ann_pq_topk": _sql_pq_topk(),
+        "ann_ivfpq_topk": _sql_ivfpq_topk(),
         "dd_embed_near_pairs_lsh": _sql_embed_lsh_pairs(),
         "dd_simhash": f"""
             WITH {_sql_simhash()}

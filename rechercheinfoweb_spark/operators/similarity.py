@@ -700,3 +700,114 @@ def pq_index_topk(spark: SparkSession, index_dir: str, query_vec,
     return pq_adc_topk(codes, np.array(meta["books"]), query_vec,
                        k=k, id_col=meta["id_col"],
                        round_to=meta["round_to"])
+
+
+def _ivfpq_kernel(centroids: np.ndarray, books: np.ndarray,
+                  id_col: str, vec_col: str, round_to: int):
+    """mapInPandas: (id, vec) → (id, list_id, codes) — IVF coarse
+    assignment (raw-vector rounded-dot argmax, the _ivf_assign_kernel
+    rule) and PQ sub-codes (normalized-vector rounded-L2 argmin, the
+    _pq_encode_kernel rule) in ONE pass over the corpus."""
+    ct = centroids.T.copy()
+    m, n_codes, dsub = books.shape
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col].to_numpy()])
+            lists = np.argmax(np.round(v @ ct, round_to),
+                              axis=1).astype(np.int32)
+            vn = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True),
+                             1e-12, None)
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                vs = vn[:, s * dsub:(s + 1) * dsub]
+                c = books[s]
+                d = (np.square(vs).sum(1, keepdims=True)
+                     - 2 * vs @ c.T + np.square(c).sum(1))
+                codes[:, s] = np.argmin(np.round(d, round_to), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "list_id": lists,
+                "codes": list(codes),
+            })
+
+    return fn
+
+
+def build_ivfpq_index(spark: SparkSession, emb: DataFrame,
+                      out_dir: str, *,
+                      centroids: np.ndarray | None = None,
+                      books: np.ndarray | None = None,
+                      n_lists: int = 64, m: int = 8,
+                      n_codes: int = 16, sample_size: int = 4096,
+                      seed: int = 11, pq_seed: int = 13,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      round_to: int = 6) -> dict:
+    """IVFADC (FAISS "IVF,PQ", by_residual=False): every vector gets
+    a coarse list AND m sub-codes in one corpus pass; the persisted
+    table is (id, codes) partitioned by list_id — m bytes/vector,
+    probed by explicit list paths.  This is THE billion-vector
+    layout: storage O(m·n), probe cost O(n_probe lists) of an
+    ADC-only scan (no raw vectors read at query time).  Pass
+    ``centroids``/``books`` to pin the quantizers (the contract
+    does); defaults train both on one id-ordered sample."""
+    sample = None
+    if centroids is None or books is None:
+        rows = (emb.select(vec_col).orderBy(id_col)
+                .limit(sample_size).collect())
+        sample = np.array([r[0] for r in rows])
+    if centroids is None:
+        centroids = train_ivf_centroids(sample, n_lists, seed=seed)
+    if books is None:
+        books = train_pq_codebooks(sample, m, n_codes, seed=pq_seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(books, dtype=np.float64)
+    n_lists = len(centroids)
+    schema = f"{id_col} long, list_id int, codes array<int>"
+    encoded = (emb.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>")
+                          .alias(vec_col))
+               .mapInPandas(_ivfpq_kernel(centroids, books, id_col,
+                                          vec_col, round_to),
+                            schema=schema))
+    (encoded.repartition(min(n_lists, 64), "list_id")
+     .write.partitionBy("list_id").mode("overwrite")
+     .parquet(os.path.join(out_dir, "lists")))
+    meta = {"kind": "ivfpq", "n_lists": n_lists,
+            "m": int(books.shape[0]), "n_codes": int(books.shape[1]),
+            "dim": int(centroids.shape[1]), "round_to": round_to,
+            "id_col": id_col, "vec_col": vec_col,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "books": [[[float(x) for x in row] for row in b]
+                      for b in books]}
+    with open(os.path.join(out_dir, "ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk(spark: SparkSession, index_dir: str, query_vec,
+               k: int = 10, n_probe: int = 8) -> DataFrame:
+    """Probe an IVFADC index: n_probe list dirs read by explicit
+    path, ADC scan over their codes — the query never touches a raw
+    corpus vector."""
+    with open(os.path.join(index_dir, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    lists = ivf_probe_lists(cents, qv, n_probe, meta["round_to"])
+    base = os.path.join(index_dir, "lists")
+    paths = [os.path.join(base, f"list_id={i}") for i in lists]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"{meta['id_col']} long, adc_score double")
+    codes = (spark.read.parquet(*paths)
+             .select(meta["id_col"], "codes"))
+    return pq_adc_topk(codes, np.array(meta["books"]), query_vec,
+                       k=k, id_col=meta["id_col"],
+                       round_to=meta["round_to"])

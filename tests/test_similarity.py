@@ -249,3 +249,41 @@ def test_pq_codes_are_m_small_ints(spark, clustered_emb, tmp_path):
     for r in rows:
         assert len(r["codes"]) == 4
         assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, clustered_emb,
+                                         tmp_path):
+    """Probing EVERY list must reproduce the flat PQ scan exactly —
+    list partitioning changes where codes live, never their ADC
+    scores (the IVF/PQ composition contract)."""
+    cents = similarity.seeded_anchors(32, 8, seed=11)
+    books = similarity.pq_codebooks(32, m=8, n_codes=16, seed=13)
+    out = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(spark, clustered_emb, out,
+                                 centroids=cents, books=books)
+    flat = str(tmp_path / "pq")
+    similarity.build_pq_index(spark, clustered_emb, flat,
+                              books=books)
+    qv = clustered_emb.where("vec_id = 3").collect()[0]["embedding"]
+    a = [(r["vec_id"], r["adc_score"]) for r in
+         similarity.ivfpq_topk(spark, out, qv, k=10,
+                               n_probe=8).collect()]
+    b = [(r["vec_id"], r["adc_score"]) for r in
+         similarity.pq_index_topk(spark, flat, qv, k=10).collect()]
+    assert a == b
+
+
+def test_ivfpq_probe_recall(spark, clustered_emb, tmp_path):
+    """A bounded probe must still surface the query's own jittered
+    cluster: recall@5 vs exact cosine ≥ 0.6 at n_probe=4 of 16."""
+    out = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(
+        spark, clustered_emb, out,
+        centroids=similarity.seeded_anchors(32, 16, seed=11),
+        books=similarity.pq_codebooks(32, m=8, n_codes=16, seed=13))
+    qv = clustered_emb.where("vec_id = 0").collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        clustered_emb, qv, k=5).collect()}
+    got = {r["vec_id"] for r in similarity.ivfpq_topk(
+        spark, out, qv, k=5, n_probe=4).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
