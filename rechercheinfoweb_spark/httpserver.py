@@ -145,6 +145,13 @@ class SearchApp:
                         rows[offset:offset + PAGE_SIZE]]
         dt = time.time() - t0
         self.latencies[corpus].append(dt)
+        # query-focused snippets when the searcher has a corpus
+        # attached — O(page) pushed-down text lookups, outside the
+        # latency-accounted scoring section like the reference's
+        # rendering is
+        snips: dict = {}
+        if getattr(s, "_corpus_dir", None):
+            snips = s.snippets(query, [d for d, _u, _sc in page])
         base = (f"/?search={quote_plus(query)}&corpus={corpus}"
                 f"&type={qtype}&weight={weight}")
         return {
@@ -152,7 +159,9 @@ class SearchApp:
             "weight": weight, "size": size, "offset": offset,
             # printDuration rounds to the ms (server.go:34-37)
             "time_ms": round(dt * 1e3),
-            "results": [{"doc_id": d, "url": u, "score": sc}
+            "results": [{"doc_id": d, "url": u, "score": sc,
+                         **({"snippet": snips[d]} if d in snips
+                            else {})}
                         for d, u, sc in page],
             "prev": (f"{base}&offset={max(offset - PAGE_SIZE, 0)}"
                      if offset > 0 else None),
@@ -190,10 +199,15 @@ class SearchApp:
                         "<tr><th>doc</th><th>url</th><th>score</th></tr>")
             for r in a["results"]:
                 sc = "" if r["score"] is None else f"{r['score']:.6f}"
+                snip = ""
+                if "snippet" in r:
+                    snip = ("<br><small>"
+                            + _render_snippet(r["snippet"])
+                            + "</small>")
                 body.append(
                     f'<tr><td><a href="/doc/{corpus}/{r["doc_id"]}">'
                     f'{r["doc_id"]}</a></td>'
-                    f"<td>{html.escape(str(r['url']))}</td>"
+                    f"<td>{html.escape(str(r['url']))}{snip}</td>"
                     f"<td>{sc}</td></tr>")
             body.append("</table><nav>")
             if a["prev"]:
@@ -386,6 +400,20 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(f.read(), "image/svg+xml")
         else:
             self._404()
+
+
+def _render_snippet(snip: dict) -> str:
+    """Escaped snippet HTML with <b> over the match spans (spans are
+    char offsets into the raw snippet text, so escape piecewise)."""
+    text, out, pos = snip["text"], [], 0
+    for s, e in snip["spans"]:
+        out.append(html.escape(text[pos:s]))
+        out.append("<b>" + html.escape(text[s:e]) + "</b>")
+        pos = e
+    out.append(html.escape(text[pos:]))
+    return (("… " if snip["clipped_left"] else "")
+            + "".join(out)
+            + (" …" if snip["clipped_right"] else ""))
 
 
 def make_server(corpora: dict[str, LocalSearcher], port: int = 0,

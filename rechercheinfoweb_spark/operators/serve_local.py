@@ -59,11 +59,14 @@ SCHEME_COL = {"raw": 0, "norm": 1, "half": 2, "bm25": 3}
 #: (two n_docs-sized arrays, ~9 bytes/doc → ~256 MB at the cap).
 DENSE_MAX_DOCS = 1 << 25
 
+SNIPPET_RADIUS = 8  # snippet window = 2*radius+1 tokens
+
 
 class LocalSearcher:
     """In-process searcher over a built index directory."""
 
-    def __init__(self, index_dir: str, max_cached_buckets: int = 64):
+    def __init__(self, index_dir: str, max_cached_buckets: int = 64,
+                 corpus_dir: str | None = None):
         stats = pq.read_table(
             os.path.join(index_dir, "corpus_stats")).to_pylist()[0]
         check_layout(stats)
@@ -111,6 +114,10 @@ class LocalSearcher:
         # stays O(postings touched) on arbitrarily large shards.
         self._scores: np.ndarray | None = None
         self._present: np.ndarray | None = None
+        # optional raw-corpus parquet (url, text): enables snippets.
+        # The index itself never stores text — snippet reads are
+        # O(page) point lookups pushed down to the corpus scan.
+        self._corpus_dir = corpus_dir
 
     # ---- storage ----------------------------------------------------
 
@@ -312,3 +319,91 @@ class LocalSearcher:
 
     def boolean_query(self, query: str) -> list[int]:
         return [int(x) for x in self.boolean_query_np(query)]
+
+    # ---- snippets ----------------------------------------------------
+
+    def _texts_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """(doc_id → text) for a RESULT PAGE of ids: urls from the
+        docs table, texts via a url-IN filter pushed down to the
+        corpus parquet — O(page) rows materialized, never O(corpus)."""
+        urls = self._load_urls()
+        want = {urls[d]: int(d) for d in doc_ids
+                if 0 <= d <= self._id_cap and urls[d] is not None}
+        if not want:
+            return {}
+        t = pq.read_table(self._corpus_dir, columns=["url", "text"],
+                          filters=[("url", "in", list(want))])
+        return {want[u]: x
+                for u, x in zip(t.column("url").to_pylist(),
+                                t.column("text").to_pylist())
+                if u in want}
+
+    def snippets(self, query: str, doc_ids: list[int],
+                 radius: int = SNIPPET_RADIUS,
+                 stopwords: frozenset = STOPWORDS
+                 ) -> dict[int, dict]:
+        """Query-focused snippets for result ids (requires
+        ``corpus_dir``): terms normalized exactly like the vector
+        query (so highlights are what scored), best window per doc
+        via :func:`best_snippet`."""
+        if self._corpus_dir is None:
+            raise ValueError("LocalSearcher needs corpus_dir for "
+                             "snippets")
+        terms = set(vector_query_terms(query, stopwords,
+                                       use_stem=self.stemmed))
+        return {d: best_snippet(text, terms, self.stemmed, radius)
+                for d, text in self._texts_for(doc_ids).items()}
+
+
+# ---- snippets -------------------------------------------------------
+
+
+def best_snippet(text: str, match_terms: set[str], stemmed: bool,
+                 radius: int = SNIPPET_RADIUS) -> dict:
+    """Best (2·radius+1)-token window of *text* for *match_terms*
+    (already query-normalized: the caller passes
+    ``vector_query_terms`` output).  Each text token is normalized
+    with the INDEX rule (stem iff len>3 when the index is stemmed)
+    so the snippet highlights exactly what scored.  Window choice:
+    most DISTINCT matched terms, then most matched tokens, then
+    leftmost — deterministic.  Returns the original character span
+    (``text``), match offsets within it (``spans``), and clip
+    flags."""
+    from collections import Counter
+
+    from ..functions.porter2 import stem
+    from ..functions.tokenizer import TOKEN_RE
+
+    toks = [(m.group(0), m.start(), m.end())
+            for m in TOKEN_RE.finditer(text)]
+    if not toks:
+        return {"text": "", "spans": [],
+                "clipped_left": False, "clipped_right": False}
+    termat = []
+    for w, _s, _e in toks:
+        t = stem(w) if stemmed and len(w) > 3 else w
+        termat.append(t if t in match_terms else None)
+    w = min(len(toks), 2 * radius + 1)
+    cnt = Counter(t for t in termat[:w] if t)
+    best_i, best = 0, (len(cnt), sum(cnt.values()))
+    for i in range(1, len(toks) - w + 1):
+        gone, new = termat[i - 1], termat[i + w - 1]
+        if gone:
+            cnt[gone] -= 1
+            if not cnt[gone]:
+                del cnt[gone]
+        if new:
+            cnt[new] += 1
+        score = (len(cnt), sum(cnt.values()))
+        if score > best:
+            best_i, best = i, score
+    lo, hi = toks[best_i][1], toks[best_i + w - 1][2]
+    return {
+        "text": text[lo:hi],
+        "spans": [(s - lo, e - lo)
+                  for (tok, s, e), t in zip(toks[best_i:best_i + w],
+                                            termat[best_i:best_i + w])
+                  if t],
+        "clipped_left": best_i > 0,
+        "clipped_right": best_i + w < len(toks),
+    }

@@ -118,3 +118,32 @@ def test_graphs_static_and_traversal_guard(server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(f"{server}{bad}")
         assert e.value.code == 404
+
+
+def test_search_snippets_when_corpus_attached(index_dir, pages_df,
+                                              tmp_path_factory):
+    """A corpus-attached searcher serves query-focused snippets:
+    JSON results carry {text, spans, clip flags}, the HTML page
+    bolds the matches; the plain searcher (other tests) serves
+    none."""
+    corpus_dir = str(tmp_path_factory.mktemp("http_corpus"))
+    pages_df.write.mode("overwrite").parquet(corpus_dir)
+    s = LocalSearcher(index_dir, corpus_dir=corpus_dir)
+    srv = make_server({"main": s}, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        a = _get_json(f"{base}/?search=search+engine&corpus=main"
+                      "&type=vectorial&weight=bm25&format=json")
+        assert a["results"]
+        for r in a["results"]:
+            snip = r["snippet"]
+            assert snip["text"] and snip["spans"]
+            for lo, hi in snip["spans"]:
+                assert 0 <= lo < hi <= len(snip["text"])
+        status, body = _get(f"{base}/?search=search+engine"
+                            "&corpus=main&type=vectorial&weight=bm25")
+        assert status == 200 and b"<b>" in body
+    finally:
+        srv.shutdown()

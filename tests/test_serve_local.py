@@ -63,3 +63,69 @@ def test_local_latency(index_dir):
     # the Spark job path costs ~1.4 s/query; local serving must be
     # interactive (generous bound — typically single-digit ms)
     assert per < 0.1, f"{per * 1000:.1f} ms/query"
+
+
+# ---- snippets -------------------------------------------------------
+
+
+def test_best_snippet_window_choice_and_spans():
+    """Window with the most DISTINCT matched terms wins (ties: more
+    matched tokens, then leftmost); spans are char offsets into the
+    returned text; clip flags reflect truncation."""
+    from rechercheinfoweb_spark.operators.serve_local import (
+        best_snippet,
+    )
+    text = ("filler filler engine filler filler filler filler filler "
+            "filler filler filler filler filler "
+            "search engine ranking signals")
+    s = best_snippet(text, {"search", "engine", "ranking"},
+                     stemmed=False, radius=2)
+    # the 5-token window around 'search engine ranking' has 3
+    # distinct matches; the early lone 'engine' window only 1
+    assert "search engine ranking" in s["text"]
+    # ties (windows 11 and 12 both hold all 3 terms) go LEFTMOST, so
+    # the window starts two fillers early and clips on both sides
+    assert s["text"] == "filler filler search engine ranking"
+    assert s["clipped_left"] and s["clipped_right"]
+    got = [s["text"][a:b] for a, b in s["spans"]]
+    assert got == ["search", "engine", "ranking"]
+    # whole-text window when the doc is short
+    s2 = best_snippet("just two", {"missing"}, stemmed=False, radius=8)
+    assert s2["text"] == "just two" and s2["spans"] == []
+    assert not s2["clipped_left"] and not s2["clipped_right"]
+    # empty text
+    s3 = best_snippet("", {"x"}, stemmed=False)
+    assert s3["text"] == "" and s3["spans"] == []
+
+
+def test_best_snippet_stemmed_matching():
+    """With a stemmed index, text tokens stem before matching (len>3
+    rule) so 'ranking' highlights for query term 'rank'."""
+    from rechercheinfoweb_spark.functions.porter2 import stem
+    from rechercheinfoweb_spark.operators.serve_local import (
+        best_snippet,
+    )
+    term = stem("ranking")
+    s = best_snippet("page about ranking things", {term},
+                     stemmed=True, radius=3)
+    assert [s["text"][a:b] for a, b in s["spans"]] == ["ranking"]
+
+
+def test_local_snippets_end_to_end(spark, pages_df, index_dir,
+                                   tmp_path_factory):
+    """Snippets over the real corpus: every snippet is a substring
+    of its doc's text and highlights at least one query term for
+    docs the vector query actually matched."""
+    corpus_dir = str(tmp_path_factory.mktemp("snip_corpus"))
+    pages_df.write.mode("overwrite").parquet(corpus_dir)
+    local = LocalSearcher(index_dir, corpus_dir=corpus_dir)
+    top = local.vector_query("search engine", "bm25", k=5)
+    ids = [d for d, _s in top]
+    texts = {r["url"]: r["text"]
+             for r in pages_df.select("url", "text").collect()}
+    urls = local._load_urls()
+    snips = local.snippets("search engine", ids)
+    assert set(snips) == set(ids)
+    for d, s in snips.items():
+        assert s["text"] in texts[urls[d]]
+        assert s["spans"], f"doc {d} snippet has no highlight"
