@@ -1299,6 +1299,108 @@ def _q_engine_bm25_purged(spark, sf_dir):
     return _rounded_topk(spark, out)
 
 
+_PR_ITER, _PR_DAMP = 5, 0.85
+
+
+def _lg_edges(docs: DataFrame, n: int) -> DataFrame:
+    """Deterministic synthetic edge table over the documents corpus
+    (same modular rule as sources.web_pages.link_targets, evaluated
+    directly on doc_id so the DuckDB oracle can re-derive it): page i
+    has i%4 out-links, k-th target (i*31+k*17+7) mod n, self bumped
+    to the next id.  Pure Catalyst expressions — no Python."""
+    e0 = (docs.select("doc_id",
+                      F.explode(F.sequence(F.lit(1), F.lit(3)))
+                      .alias("k"))
+          .where(F.col("k") <= F.col("doc_id") % 4))
+    d0 = (F.col("doc_id") * 31 + F.col("k") * 17 + 7) % n
+    return e0.select(
+        F.col("doc_id").alias("src"),
+        F.when(d0 == F.col("doc_id"), (d0 + 1) % n)
+        .otherwise(d0).alias("dst"))
+
+
+def _q_lg_degrees(spark, sf_dir):
+    """Link-graph degree/dangling stats (operators/linkgraph.py) over
+    the deterministic doc_id edge rule."""
+    from rechercheinfoweb_spark.operators import linkgraph
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return linkgraph.degree_stats(nodes, _lg_edges(docs, n))
+
+
+def _q_lg_pagerank(spark, sf_dir):
+    """Damped PageRank with dangling-mass redistribution
+    (linkgraph.pagerank), 5 fixed iterations; the oracle unrolls the
+    identical update as 5 CTE stages, so a hash match certifies the
+    per-iteration join/agg/dangling math through float round-8."""
+    from rechercheinfoweb_spark.operators import linkgraph
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pr = linkgraph.pagerank(nodes, _lg_edges(docs, n),
+                            n_iter=_PR_ITER, damping=_PR_DAMP)
+    return pr.select("node", F.round("pr", 8).alias("pr"))
+
+
+def _sql_lg_edges() -> str:
+    """Shared CTE prefix re-deriving _lg_edges in DuckDB."""
+    return """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        ks AS (SELECT unnest([1, 2, 3]) AS k),
+        e0 AS (SELECT d.doc_id AS src,
+                      ((d.doc_id * 31 + ks.k * 17 + 7) % n.n) AS d0
+               FROM documents d CROSS JOIN n CROSS JOIN ks
+               WHERE ks.k <= d.doc_id % 4),
+        edges AS (SELECT DISTINCT src,
+                         CASE WHEN d0 = src THEN (d0 + 1) % n.n
+                              ELSE d0 END AS dst
+                  FROM e0 CROSS JOIN n),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges
+                   GROUP BY src)"""
+
+
+def _sql_lg_degrees() -> str:
+    return _sql_lg_edges() + """
+        SELECT d.doc_id AS node,
+               CAST(coalesce(o.deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg,
+               coalesce(o.deg, 0) = 0 AS dangling
+        FROM documents d
+        LEFT JOIN outdeg o ON d.doc_id = o.src
+        LEFT JOIN (SELECT dst, count(*) AS c FROM edges
+                   GROUP BY dst) i ON d.doc_id = i.dst"""
+
+
+def _sql_lg_pagerank(n_iter: int = _PR_ITER,
+                     d: float = _PR_DAMP) -> str:
+    """Unrolled power iteration — same float op order as the Spark
+    side (base + d*(contrib + dangling/n), all DOUBLE)."""
+    parts = [_sql_lg_edges() + """,
+        pr0 AS (SELECT doc_id AS node, 1.0::DOUBLE / n.n AS pr
+                FROM documents CROSS JOIN n)"""]
+    for i in range(n_iter):
+        parts.append(f""",
+        dang{i} AS (SELECT coalesce(sum(p.pr), 0.0::DOUBLE) AS m
+                    FROM pr{i} p LEFT JOIN outdeg o ON p.node = o.src
+                    WHERE o.src IS NULL),
+        pr{i + 1} AS (
+            SELECT doc.doc_id AS node,
+                   {(1.0 - d)!r}::DOUBLE / n.n + {d!r}::DOUBLE
+                     * (coalesce(c.c, 0.0::DOUBLE) + dg.m / n.n)
+                   AS pr
+            FROM documents doc CROSS JOIN n CROSS JOIN dang{i} dg
+            LEFT JOIN (SELECT e.dst AS node,
+                              sum(p.pr / o.deg) AS c
+                       FROM edges e
+                       JOIN pr{i} p ON e.src = p.node
+                       JOIN outdeg o ON e.src = o.src
+                       GROUP BY e.dst) c ON doc.doc_id = c.node)""")
+    parts.append(f"""
+        SELECT node, round(pr, 8) AS pr FROM pr{n_iter}""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_term_doc_tf": _q_term_doc_tf,
@@ -1355,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_pr_curve": _q_pr_curve,
         "ev_value_percentiles": _q_value_percentiles,
         "ft_heaps_curve": _q_heaps_curve,
+        "lg_degrees": _q_lg_degrees,
+        "lg_pagerank": _q_lg_pagerank,
         "ix_engine_bm25_topk": _q_engine_bm25,
         "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
         "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
@@ -2149,6 +2253,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id""",
+        "lg_degrees": _sql_lg_degrees(),
+        "lg_pagerank": _sql_lg_pagerank(),
         "ix_engine_bm25_nostem": _sql_engine_bm25_nostem(),
         "ix_engine_bm25_deleted": _sql_engine_bm25_nostem(
             deleted=DELETE_SQL_PRED),

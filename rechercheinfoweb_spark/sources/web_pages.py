@@ -102,16 +102,38 @@ def generate_rows(n_docs: int, seed: int = 42) -> list[tuple]:
     return rows
 
 
+def link_targets(i: int, n_docs: int) -> list[int]:
+    """Deterministic out-links of page *i* in an *n_docs* corpus:
+    out-degree = i % 4, k-th target = (i*31 + k*17 + 7) mod n (self
+    bumped to the next id).  Pure modular arithmetic so tests AND the
+    DuckDB contract oracle (``lg_pagerank``) can re-derive the exact
+    edge set; out-degree-0 pages (i ≡ 0 mod 4) exercise dangling-mass
+    handling."""
+    out = []
+    for k in range(1, i % 4 + 1):
+        j = (i * 31 + k * 17 + 7) % n_docs
+        out.append((j + 1) % n_docs if j == i else j)
+    return out
+
+
 def synthetic_web_pages(spark: SparkSession, n_docs: int,
                         seed: int = 42, partitions: int | None = None,
                         tokens_lo: int = 20, tokens_hi: int = 500,
-                        vocab_size: int = 2000) -> DataFrame:
+                        vocab_size: int = 2000,
+                        with_links: bool = False) -> DataFrame:
     """Deterministic synthetic corpus as a DataFrame.
 
     Generation is distributed for large *n_docs*: each Spark task
     generates its own id range with a range-derived seed, so the
     result is independent of parallelism (required for the
     local[8]-vs-local[32] scaling-efficiency evidence).
+
+    ``with_links=True`` prepends a ``<nav>`` block of anchor tags
+    (targets per :func:`link_targets`, anchor text from the vocab) to
+    the html — the TEXT column is untouched, so token goldens, doc
+    ids and index bytes are identical with or without links, and the
+    extraction invariant still holds (:func:`extracted_text` strips
+    the nav).
     """
     parts = partitions or max(2, n_docs // 2000)
     rng_ids = spark.range(0, n_docs, numPartitions=parts)
@@ -131,10 +153,19 @@ def synthetic_web_pages(spark: SparkSession, n_docs: int,
                 for h in _HOT_TERMS:
                     words.insert(int(rng.integers(0, len(words) + 1)), h)
                 text = " ".join(words)
+                nav = b""
+                if with_links:
+                    anchors = "".join(
+                        f'<a href="https://host{j % 97}.example'
+                        f'/p/{j:08d}">{vocab_arr[(i + j) % len(vocab_arr)]}'
+                        "</a>"
+                        for j in link_targets(i, n_docs))
+                    nav = b"<nav>" + anchors.encode() + b"</nav>"
                 out["url"].append(f"https://host{i % 97}.example/p/{i:08d}")
                 out["warc_ts"].append(_EPOCH + _dt.timedelta(seconds=int(i)))
                 out["html"].append(
-                    b"<html><body>" + text.encode() + b"</body></html>")
+                    b"<html>" + nav + b"<body>" + text.encode()
+                    + b"</body></html>")
                 out["text"].append(text)
                 out["lang"].append(["en", "de", "es", "fr", "zh"][i % 5])
             yield pd.DataFrame(out)
@@ -168,7 +199,7 @@ def extracted_text(pages: DataFrame) -> DataFrame:
     contract.  Adds ``extracted_text``."""
     ex = F.regexp_replace(
         F.regexp_replace(F.col("html").cast("string"),
-                         "^<html><body>", ""),
+                         "^<html>(<nav>.*</nav>)?<body>", ""),
         "</body></html>$", "")
     return pages.withColumn("extracted_text", ex)
 
