@@ -1299,6 +1299,86 @@ def _q_engine_bm25_purged(spark, sf_dir):
     return _rounded_topk(spark, out)
 
 
+#: misspellings of high-df corpus terms + one in-vocabulary term
+#: (exact hits must rank first at dist 0)
+SPELL_QUERY_TERMS = ["quary", "strem", "custmer", "windoow", "scan"]
+COMPLETE_PREFIX = "co"
+
+
+def _q_spell_suggest(spark, sf_dir):
+    """Spell suggestion over the nostem engine dictionary
+    (operators/suggest.py): length-band prune + JVM levenshtein over
+    ONE map-side dictionary scan, deterministic (dist, -df, term)
+    rank.  Runs against the same cached nostem index artifact as
+    ix_engine_bm25_nostem, so the dictionary being probed is the
+    engine's own (codec-round-tripped df values, not a DataFrame
+    recount)."""
+    from rechercheinfoweb_spark.operators.query_vector import IndexReader
+    from rechercheinfoweb_spark.operators.suggest import spell_suggest
+    out = _build_nostem_index(spark, sf_dir, "ixns")
+    return spell_suggest(IndexReader(spark, out)._dictionary,
+                         SPELL_QUERY_TERMS, k=5, max_dist=2)
+
+
+def _q_complete_prefix(spark, sf_dir):
+    """Prefix autocomplete over the nostem engine dictionary — a
+    pushed StartsWith scan + df-ranked take."""
+    from rechercheinfoweb_spark.operators.query_vector import IndexReader
+    from rechercheinfoweb_spark.operators.suggest import complete_prefix
+    out = _build_nostem_index(spark, sf_dir, "ixns")
+    return complete_prefix(IndexReader(spark, out)._dictionary,
+                           COMPLETE_PREFIX, k=10)
+
+
+def _sql_dictionary_df() -> str:
+    """CTE prefix re-deriving the NOSTEM dictionary (term, df) with
+    the engine's tokenizer (same charset regex / len>=3 / stopword
+    rules as _sql_engine_bm25_nostem)."""
+    from rechercheinfoweb_spark.functions.tokenizer import STOPWORDS
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+        WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            '[0-9A-Za-z''\\-/]+')) AS term
+              FROM documents),
+             dict AS (
+              SELECT term,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks
+              WHERE length(term) >= 3 AND term NOT IN ({stop})
+              GROUP BY term)"""
+
+
+def _sql_spell_suggest(k: int = 5, max_dist: int = 2) -> str:
+    terms = ", ".join(f"'{t}'" for t in SPELL_QUERY_TERMS)
+    return _sql_dictionary_df() + f""",
+        q AS (SELECT unnest([{terms}]) AS query_term),
+        cand AS (
+          SELECT q.query_term, d.term,
+                 CAST(levenshtein(q.query_term, d.term) AS INTEGER)
+                   AS dist,
+                 d.df
+          FROM dict d CROSS JOIN q
+          WHERE abs(length(d.term) - length(q.query_term))
+                  <= {max_dist}
+            AND levenshtein(q.query_term, d.term) <= {max_dist}),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_term
+                   ORDER BY dist ASC, df DESC, term ASC) AS rnk
+          FROM cand)
+        SELECT query_term, term AS suggestion, dist, df
+        FROM ranked WHERE rnk <= {k}"""
+
+
+def _sql_complete_prefix(k: int = 10) -> str:
+    return _sql_dictionary_df() + f"""
+        SELECT term, df FROM dict
+        WHERE term LIKE '{COMPLETE_PREFIX}%'
+        ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
 _PR_ITER, _PR_DAMP = 5, 0.85
 
 
@@ -1459,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_heaps_curve": _q_heaps_curve,
         "lg_degrees": _q_lg_degrees,
         "lg_pagerank": _q_lg_pagerank,
+        "ix_spell_suggest": _q_spell_suggest,
+        "ix_complete_prefix": _q_complete_prefix,
         "ix_engine_bm25_topk": _q_engine_bm25,
         "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
         "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
@@ -2255,6 +2337,8 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id ORDER BY user_id""",
         "lg_degrees": _sql_lg_degrees(),
         "lg_pagerank": _sql_lg_pagerank(),
+        "ix_spell_suggest": _sql_spell_suggest(),
+        "ix_complete_prefix": _sql_complete_prefix(),
         "ix_engine_bm25_nostem": _sql_engine_bm25_nostem(),
         "ix_engine_bm25_deleted": _sql_engine_bm25_nostem(
             deleted=DELETE_SQL_PRED),
