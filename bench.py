@@ -197,8 +197,11 @@ def main() -> None:
 
     def _du(path):
         import pathlib
+        p = pathlib.Path(path)
+        if p.is_file():
+            return p.stat().st_size
         return sum(f.stat().st_size
-                   for f in pathlib.Path(path).rglob("*") if f.is_file())
+                   for f in p.rglob("*") if f.is_file())
     # compression record (BASELINE.md target): v4 postings =
     # delta+varint blocks inside zstd parquet
     extra["postings_bytes"] = _du(f"{out}/postings")
@@ -287,6 +290,36 @@ def main() -> None:
         boolean_search(spark, reader, "search AND engine AND NOT ranking"
                        ).collect()
         boolean_search(spark, reader, "index OR postings merge").collect()
+
+    # ---- serving assists: snippets, did-you-mean, autocomplete ----
+    # snippets need the raw corpus on disk (O(page) url-IN point
+    # lookups against the parquet); the write itself is untimed —
+    # a deployment has the crawl parquet already
+    corpus_dir = f"{work}/corpus"
+    pages.write.mode("overwrite").parquet(corpus_dir)
+    local_sn = LocalSearcher(out, corpus_dir=corpus_dir)
+    pages_1q = [d for d, _ in local_sn.vector_query(lq[0], "bm25", k=20)]
+    local_sn.snippets(lq[0], pages_1q)  # warm
+    with timed("snippets_50pages"):
+        for i in range(50):
+            q = lq[i % len(lq)]
+            ids = [d for d, _ in local_sn.vector_query(q, "bm25", k=20)]
+            local_sn.snippets(q, ids)
+    extra["snippet_pages_per_sec"] = round(
+        50 / timings["snippets_50pages"], 1)
+    from rechercheinfoweb_spark.operators.suggest import (
+        complete_prefix, spell_suggest,
+    )
+    typos = ["serch", "engin", "rankin", "shufle", "partion",
+             "varint", "deltta", "postngs", "mrege", "contnt",
+             "informaton", "webpge", "crawlr", "retreival", "steming",
+             "boolen", "vectr", "precison", "recal", "corpuss"]
+    with timed("spell_suggest_20"):
+        extra["spell_rows"] = spell_suggest(
+            reader._dictionary, typos, k=5, max_dist=2).count()
+    with timed("complete_prefix"):
+        extra["complete_rows"] = complete_prefix(
+            reader._dictionary, "se", k=10).count()
 
     # ---- positional sidecar + phrase retrieval --------------------
     # build over the SAME deterministic doc ids as the postings
@@ -519,6 +552,24 @@ def main() -> None:
     with timed("semantic_dedup"):
         extra["semantic_pairs"] = similarity.semantic_dedup_pairs(
             emb, threshold=0.15, n_lists=64).count()
+
+    # ---- link graph ------------------------------------------------
+    # linked twin of the bench corpus (same text, html gains the
+    # deterministic <nav> anchors); extraction is one map-side regexp
+    # scan, pagerank is 5 power iterations with per-round lineage
+    # truncation
+    from rechercheinfoweb_spark.operators import linkgraph
+    pages_lg = synthetic_web_pages(spark, n_corpus,
+                                   with_links=True).persist()
+    nodes = pages_lg.select(F.col("url").alias("node"))
+    with timed("lg_extract_links"):
+        edges = linkgraph.extract_links(pages_lg).persist()
+        extra["lg_edges"] = edges.count()
+    with timed("lg_pagerank_5it"):
+        pr = linkgraph.pagerank(nodes, edges, n_iter=5)
+        extra["lg_nodes"] = pr.count()
+    edges.unpersist()
+    pages_lg.unpersist()
 
     total = round(sum(timings.values()), 3)
     # like-for-like continuity: the bench gains sections every round,
