@@ -35,7 +35,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .dedup import dedup_keep, simhash_near_pairs
-from .textstats import LANG_MARKERS, ngrams_col, tokens_col
+from .textstats import (
+    LANG_MARKERS, lower_tokens_col, ngrams_of_tokens, tokens_col,
+)
 
 
 def _lang_pred_col(toks: Column) -> Column:
@@ -90,12 +92,21 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     explode) into a broadcast-hash semi-join, then one partial-agg
     shuffle keyed by doc_id for the counts.  The 100-TB corpus is
     never shuffled on gram strings."""
+    # two-step project (tokens as a materialized column, then grams)
+    # — inlining ngrams_col into the Generate would tokenize each row
+    # 3x (textstats.ngrams_of_tokens docstring)
     bench_grams = (benchmark
-                   .select(F.explode(ngrams_col(n)).alias("gram"))
+                   .select(lower_tokens_col().alias("toks"))
+                   .select(F.explode(
+                       ngrams_of_tokens(F.col("toks"), n))
+                       .alias("gram"))
                    .distinct())
-    doc_grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(ngrams_col(n))).alias("gram"))
+    doc_grams = (docs
+                 .select("doc_id", lower_tokens_col().alias("toks"))
+                 .select("doc_id",
+                         F.explode(F.array_distinct(
+                             ngrams_of_tokens(F.col("toks"), n)))
+                         .alias("gram")))
     return (doc_grams
             .join(F.broadcast(bench_grams), "gram")
             .groupBy("doc_id")

@@ -35,17 +35,34 @@ def tokens_col(col: str = "text") -> Column:
                     lambda t: t != "")
 
 
-def ngrams_col(n: int, col: str = "text") -> Column:
-    """Lowercased token *n*-grams of *col* joined by single spaces
-    (SQL-portable tokenizer, so the DuckDB oracle can recompute
-    them).  Shared by decontamination (operators/pipeline.py) and
-    duplicated-span detection (operators/dedup.py)."""
-    toks = F.transform(tokens_col(col), lambda t: F.lower(t))
+def lower_tokens_col(col: str = "text") -> Column:
+    """Lowercased SQL-portable token array."""
+    return F.transform(tokens_col(col), lambda t: F.lower(t))
+
+
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Token *n*-grams (space-joined) of an ALREADY-MATERIALIZED
+    token-array column.  Callers should project the token array in a
+    separate select first: referencing ``lower_tokens_col`` directly
+    here would inline the tokenizer 3x into one expression (size
+    bound, sequence bound, slice source) — Catalyst does not
+    common-subexpression-eliminate inside a Generate, so the corpus
+    would tokenize three times per scan."""
     sz = F.size(toks)
     return F.when(sz >= n, F.transform(
         F.sequence(F.lit(1), sz - n + 1),
         lambda i: F.array_join(F.slice(toks, i, n), " "))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_col(n: int, col: str = "text") -> Column:
+    """Lowercased token *n*-grams of *col* joined by single spaces
+    (SQL-portable tokenizer, so the DuckDB oracle can recompute
+    them).  Shared by decontamination (operators/pipeline.py) and
+    duplicated-span detection (operators/dedup.py).  Prefer the
+    two-step project + :func:`ngrams_of_tokens` form on hot paths
+    (see its docstring)."""
+    return ngrams_of_tokens(lower_tokens_col(col), n)
 
 
 # Explicit whitespace class instead of \s: Java's \s includes
