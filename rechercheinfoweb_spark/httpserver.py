@@ -152,6 +152,16 @@ class SearchApp:
         snips: dict = {}
         if getattr(s, "_corpus_dir", None):
             snips = s.snippets(query, [d for d, _u, _sc in page])
+        # did-you-mean when a vectorial query comes back empty: best
+        # non-identical dictionary neighbor per query token
+        did_you_mean: list[str] = []
+        if size == 0 and qtype != "boolean":
+            for w in query.split():
+                alts = [t for t, d, _df in s.suggest(w, k=2)
+                        if d > 0]
+                did_you_mean.append(alts[0] if alts else w)
+            if " ".join(did_you_mean) == query:
+                did_you_mean = []
         base = (f"/?search={quote_plus(query)}&corpus={corpus}"
                 f"&type={qtype}&weight={weight}")
         return {
@@ -167,6 +177,8 @@ class SearchApp:
                      if offset > 0 else None),
             "next": (f"{base}&offset={offset + PAGE_SIZE}"
                      if offset + PAGE_SIZE < size else None),
+            **({"did_you_mean": " ".join(did_you_mean)}
+               if did_you_mean else {}),
         }
 
     # ---- pages -----------------------------------------------------
@@ -194,6 +206,13 @@ class SearchApp:
                                                       "vectorial"):
             a = self.search(corpus, q, qtype, weight,
                             int(args.get("offset", 0) or 0))
+            if a.get("did_you_mean"):
+                alt = a["did_you_mean"]
+                link = (f"/?search={quote_plus(alt)}&corpus={corpus}"
+                        f"&type={qtype}&weight={weight}")
+                body.append(
+                    f'<p>Did you mean <a href="{link}"><i>'
+                    f"{html.escape(alt)}</i></a>?</p>")
             body.append(f"<p>{a['size']} results "
                         f"({a['time_ms']} ms)</p><table>"
                         "<tr><th>doc</th><th>url</th><th>score</th></tr>")
@@ -361,6 +380,21 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(json.dumps(a), "application/json")
             else:
                 self._send(app.index_page(args))
+        elif path == "/suggest":
+            corpus = args.get("corpus", "")
+            q = args.get("q", "")
+            if not q or corpus not in app.corpora:
+                return self._404()
+            s = app.corpora[corpus]
+            k = int(args.get("k", 5) or 5)
+            if "prefix" in args:
+                out = [{"term": t, "df": df}
+                       for t, df in s.complete(q, k)]
+            else:
+                out = [{"term": t, "dist": d, "df": df}
+                       for t, d, df in s.suggest(q, k)]
+            self._send(json.dumps({"q": q, "suggestions": out}),
+                       "application/json")
         elif path == "/stat":
             self._send(app.stat_page())
         elif path == "/perf":

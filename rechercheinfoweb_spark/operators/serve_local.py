@@ -320,6 +320,59 @@ class LocalSearcher:
     def boolean_query(self, query: str) -> list[int]:
         return [int(x) for x in self.boolean_query_np(query)]
 
+    # ---- suggest / autocomplete ---------------------------------------
+
+    def _load_dictionary(self) -> tuple[np.ndarray, np.ndarray,
+                                        np.ndarray]:
+        """(terms, dfs, term_lengths) over the WHOLE dictionary
+        snapshot, loaded once and cached.  The dictionary is the
+        Heaps-law-sublinear table (distinct terms, not postings) —
+        small enough to hold locally even for large corpora; the
+        Spark operator (operators/suggest.py) is the cluster-scale
+        twin of these two methods."""
+        if getattr(self, "_dict_all", None) is None:
+            name = ("dictionary" if self._dict_version is None
+                    else os.path.join("dictionary",
+                                      f"v={self._dict_version}"))
+            t = pq.read_table(os.path.join(self._dir, name),
+                              columns=["term", "df"])
+            terms = np.array(t.column("term").to_pylist(), dtype=object)
+            dfs = t.column("df").to_numpy()
+            lens = np.array([len(x) for x in terms], dtype=np.int32)
+            self._dict_all = (terms, dfs, lens)
+        return self._dict_all
+
+    def suggest(self, word: str, k: int = 5,
+                max_dist: int = 2) -> list[tuple[str, int, int]]:
+        """Did-you-mean candidates for one query token →
+        [(suggestion, dist, df)], ranked (dist, -df, term) — the same
+        deterministic rule as suggest.spell_suggest.  The token is
+        normalized with the index rule first (stem iff len>3 on a
+        stemmed index) so candidates come from the same term space
+        the query would search.  Length-band prefilter (edit distance
+        ≥ length difference) then a banded Wagner-Fischer capped at
+        ``max_dist`` (early row-exit)."""
+        term = bool_query_term(word, self.stemmed)
+        terms, dfs, lens = self._load_dictionary()
+        cand = np.where(np.abs(lens - len(term)) <= max_dist)[0]
+        scored = []
+        for i in cand:
+            d = _lev_capped(term, terms[i], max_dist)
+            if d is not None:
+                scored.append((d, -int(dfs[i]), str(terms[i])))
+        scored.sort()
+        return [(t, d, -ndf) for d, ndf, t in scored[:k]]
+
+    def complete(self, prefix: str, k: int = 10
+                 ) -> list[tuple[str, int]]:
+        """Prefix completions → [(term, df)] ranked (-df, term)."""
+        terms, dfs, _ = self._load_dictionary()
+        hits = [(-int(dfs[i]), str(terms[i]))
+                for i in range(len(terms))
+                if terms[i].startswith(prefix)]
+        hits.sort()
+        return [(t, -ndf) for ndf, t in hits[:k]]
+
     # ---- snippets ----------------------------------------------------
 
     def _texts_for(self, doc_ids: list[int]) -> dict[int, str]:
@@ -353,6 +406,31 @@ class LocalSearcher:
                                        use_stem=self.stemmed))
         return {d: best_snippet(text, terms, self.stemmed, radius)
                 for d, text in self._texts_for(doc_ids).items()}
+
+
+def _lev_capped(a: str, b: str, cap: int) -> int | None:
+    """Banded unit-cost Levenshtein: exact distance if ≤ cap, else
+    None (rows whose banded minimum exceeds the cap exit early)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return None
+    if la == 0 or lb == 0:
+        return max(la, lb)  # ≤ cap by the band check above
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        if lo > hi:
+            return None
+        cur = [i] + [cap + 1] * lb
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if min(cur[lo:hi + 1]) > cap:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= cap else None
 
 
 # ---- snippets -------------------------------------------------------

@@ -147,3 +147,38 @@ def test_search_snippets_when_corpus_attached(index_dir, pages_df,
         assert status == 200 and b"<b>" in body
     finally:
         srv.shutdown()
+
+
+def test_suggest_route_and_did_you_mean(server, searcher):
+    """/suggest serves spell + prefix JSON bit-identical to the
+    LocalSearcher methods; an empty vectorial result carries a
+    did_you_mean built from per-token best neighbors."""
+    a = _get_json(f"{server}/suggest?corpus=main&q=serch&k=3")
+    assert a["q"] == "serch"
+    assert a["suggestions"] == [
+        {"term": t, "dist": d, "df": df}
+        for t, d, df in searcher.suggest("serch", k=3)]
+    assert any(s["term"] == "search" for s in a["suggestions"])
+    p = _get_json(f"{server}/suggest?corpus=main&q=se&k=3&prefix=1")
+    assert p["suggestions"] == [
+        {"term": t, "df": df} for t, df in searcher.complete("se", 3)]
+    # unknown corpus / empty q -> 404
+    with pytest.raises(urllib.error.HTTPError):
+        _get(f"{server}/suggest?corpus=nope&q=x")
+    # misspelled-everything query: zero hits, did_you_mean offered
+    r = _get_json(f"{server}/?search=serch+enigne&corpus=main"
+                  "&type=vectorial&weight=bm25&format=json")
+    assert r["size"] == 0 and not r["results"]
+    # suggestions live in the dictionary's term space — stems on a
+    # stemmed index ("enigne" -> "engin"); re-querying them works
+    # because the query pipeline normalizes the same way
+    want = " ".join(searcher.suggest(w, k=1)[0][0]
+                    for w in ("serch", "enigne"))
+    assert r["did_you_mean"] == want == "search engin"
+    status, body = _get(f"{server}/?search=serch+enigne&corpus=main"
+                        "&type=vectorial&weight=bm25")
+    assert status == 200 and b"Did you mean" in body
+    # hits present -> no did_you_mean key
+    ok = _get_json(f"{server}/?search=search&corpus=main"
+                   "&type=vectorial&weight=bm25&format=json")
+    assert "did_you_mean" not in ok

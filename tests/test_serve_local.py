@@ -129,3 +129,61 @@ def test_local_snippets_end_to_end(spark, pages_df, index_dir,
     for d, s in snips.items():
         assert s["text"] in texts[urls[d]]
         assert s["spans"], f"doc {d} snippet has no highlight"
+
+
+# ---- suggest / autocomplete ------------------------------------------
+
+
+def test_lev_capped_matches_full_dp():
+    import itertools
+    from rechercheinfoweb_spark.operators.serve_local import _lev_capped
+
+    def full(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "abc", "abcd", "search", "serch",
+             "sarch", "searching", "engine", "enigne", "xyzzy"]
+    for a, b in itertools.product(words, repeat=2):
+        d = full(a, b)
+        for cap in (0, 1, 2, 3):
+            got = _lev_capped(a, b, cap)
+            assert got == (d if d <= cap else None), (a, b, cap)
+
+
+def test_local_suggest_matches_spark_operator(spark, reader, index_dir):
+    """LocalSearcher.suggest == operators/suggest.spell_suggest over
+    the same dictionary artifact (same normalization, same rank)."""
+    from rechercheinfoweb_spark.functions.tokenizer import (
+        bool_query_term,
+    )
+    from rechercheinfoweb_spark.operators.suggest import spell_suggest
+
+    local = LocalSearcher(index_dir)
+    words = ["serch", "engin", "rankin", "search"]
+    norm = [bool_query_term(w, local.stemmed) for w in words]
+    rows = spell_suggest(reader._dictionary, norm, k=5).collect()
+    want: dict[str, list] = {}
+    for r in rows:
+        want.setdefault(r["query_term"], []).append(
+            (r["suggestion"], r["dist"], r["df"]))
+    for w, t in zip(words, norm):
+        exp = sorted(want.get(t, []),
+                     key=lambda x: (x[1], -x[2], x[0]))
+        assert local.suggest(w, k=5) == exp, w
+
+
+def test_local_complete_matches_dictionary(reader, index_dir):
+    local = LocalSearcher(index_dir)
+    terms = {r["term"]: r["df"]
+             for r in reader._dictionary.select("term", "df").collect()}
+    want = sorted(((t, d) for t, d in terms.items()
+                   if t.startswith("se")),
+                  key=lambda x: (-x[1], x[0]))[:4]
+    assert local.complete("se", k=4) == want
