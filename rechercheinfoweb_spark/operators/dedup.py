@@ -135,15 +135,17 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_K,
 
 
 def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per doc (lowercased)."""
-    toks = F.transform(tokens_col(), lambda t: F.lower(t))
-    # try_element_at: trailing windows run past the end and are
-    # dropped by the filter (ANSI element_at would raise first)
-    sh = F.array_distinct(F.filter(
-        F.transform(toks, lambda _, i: F.concat_ws(
-            " ", *[F.try_element_at(toks, i + j + 1) for j in range(n)])),
-        lambda s, i: i < F.size(toks) - (n - 1)))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    """Distinct token n-gram shingles per doc (lowercased).
+
+    Two-step projection (textstats.ngrams_of_tokens contract): the
+    token array materializes once per row and the window expression
+    slices it.  Referencing the tokenizer inside the window lambda
+    instead re-evaluates the split per ELEMENT — O(tokens²) per doc
+    (measured 3-15 s for the 500-doc bench slice vs ~1 s two-step)."""
+    from .textstats import lower_tokens_col, ngrams_of_tokens
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    sh = F.array_distinct(ngrams_of_tokens(F.col("_toks"), n))
+    return toked.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
@@ -393,6 +395,10 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     Returns one row per doc that appears in ``pairs`` (doc_id,
     canonical); docs in no pair are their own canonical and are
     omitted — join back with a left join + coalesce."""
+    # `pairs` feeds both union branches — materialize it once first,
+    # or the (expensive) upstream pair producer (simhash kernel, LSH
+    # band join) evaluates twice; the pair table itself is tiny
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
