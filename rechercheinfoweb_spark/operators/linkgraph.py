@@ -133,7 +133,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iter: int = 10,
     # out-degree-0 nodes, fixed across iterations; their summed rank
     # is the per-round dangling scalar (computed DIRECTLY, the same
     # expression the oracle evaluates — not as 1 - linked_mass, which
-    # would differ from it by float residue)
+    # would differ from it by float residue).  The scalar stays
+    # IN-PLAN as a broadcast 1-row cross join — collecting it to the
+    # driver would add a second barrier/job per iteration (2K jobs
+    # for K rounds); same IEEE double ops either way.
     dang_nodes = (nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "anti")
         .localCheckpoint())
@@ -141,19 +144,25 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iter: int = 10,
     base = (1.0 - damping) / n
     try:
         for _ in range(n_iter):
+            # one materialization per round; pr feeds BOTH the
+            # dangling agg and the contribution join below, so an
+            # untruncated plan would double per round
             pr = pr.localCheckpoint()
-            dangling = (pr.join(dang_nodes, "node", "semi")
-                        .agg(F.sum("pr")).collect()[0][0]) or 0.0
+            dang = (pr.join(dang_nodes, "node", "semi")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                         .alias("dm")))
             contrib = (ew.join(pr.withColumnRenamed("node", "src"),
                                "src")
                        .groupBy(F.col("dst").alias("node"))
                        .agg(F.sum(F.col("w") * F.col("pr"))
                             .alias("c")))
             pr = (nodes.join(contrib, "node", "left")
+                  .crossJoin(F.broadcast(dang))
                   .select("node",
                           (F.lit(base) + F.lit(damping)
                            * (F.coalesce("c", F.lit(0.0))
-                              + F.lit(dangling / n))).alias("pr")))
+                              + F.col("dm") / F.lit(float(n))))
+                          .alias("pr")))
         return pr.localCheckpoint()
     finally:
         ew.unpersist()
