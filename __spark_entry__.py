@@ -460,6 +460,84 @@ def _q_nb_quality(spark, sf_dir):
                                      prior=meta["prior"])
 
 
+DSIR_TARGET_MOD = 11  # target slice: doc_id % 11 == 0
+DSIR_K = 100
+
+# DSIR oracle CTEs (shared by pp_dsir_weights / pp_dsir_select):
+# DuckDB re-derives the hashed-feature buckets from the identical
+# md5 bytes, both smoothed distributions, and the per-doc weight sum.
+# Summation ORDER differs (SQL sums llr per occurrence; Spark sums
+# n·llr per (doc,bucket) group) — identical value, last-ulp float
+# noise absorbed by the repo's round-6 convention.
+def _sql_dsir_ctes():
+    from rechercheinfoweb_spark.operators.pipeline import DSIR_BUCKETS
+    B, MOD = DSIR_BUCKETS, DSIR_TARGET_MOD
+    return f"""
+            toksd AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            gramsd AS (
+              SELECT doc_id,
+                     list_concat(toks,
+                       CASE WHEN len(toks) >= 2 THEN
+                         list_transform(range(1, len(toks)),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                       ELSE [] END) AS grams
+              FROM toksd),
+            feat AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::UBIGINT
+                         % {B} AS bucket
+              FROM gramsd, unnest(grams) AS u(g)),
+            tcounts AS (SELECT bucket, count(*) AS ct FROM feat
+                        WHERE doc_id % {MOD} = 0 GROUP BY bucket),
+            rcounts AS (SELECT bucket, count(*) AS cr FROM feat
+                        GROUP BY bucket),
+            tot AS (SELECT
+                (SELECT coalesce(sum(ct), 0) FROM tcounts) AS tt,
+                (SELECT coalesce(sum(cr), 0) FROM rcounts) AS tr),
+            ratio AS (
+              SELECT coalesce(t.bucket, r.bucket) AS bucket,
+                     ln((coalesce(ct, 0) + 1)
+                        / (tt + {B})::DOUBLE)
+                   - ln((coalesce(cr, 0) + 1)
+                        / (tr + {B})::DOUBLE) AS llr
+              FROM tcounts t FULL OUTER JOIN rcounts r
+                   ON t.bucket = r.bucket, tot),
+            per AS (
+              SELECT doc_id, sum(llr) AS s
+              FROM feat JOIN ratio USING (bucket)
+              GROUP BY doc_id),
+            weights AS (
+              SELECT d.doc_id, round(coalesce(per.s, 0), 6) AS lw
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN per USING (doc_id))"""
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio
+    of hashed unigram+bigram likelihood under a target slice
+    (doc_id%11==0) vs the raw corpus.  Two ≤B-row count aggs, ratio
+    table broadcast at score time — corpus never shuffles on
+    feature keys."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return pipeline.dsir_weights(docs, target)
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel top-k resampling: keep the K docs with the
+    largest lw + deterministic-Gumbel keys (sampling without
+    replacement ∝ exp(lw)).  Distributed exact top-k via
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return pipeline.dsir_select(docs, target, DSIR_K)
+
+
 def _q_para_dedup(spark, sf_dir):
     """Cross-document paragraph dedup (C4/RefinedWeb line rule):
     a repeated trimmed line survives only at its first (doc_id,
@@ -1521,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_url_dedup": _q_url_dedup,
         "pp_para_dedup": _q_para_dedup,
         "pp_nb_quality": _q_nb_quality,
+        "pp_dsir_weights": _q_dsir_weights,
+        "pp_dsir_select": _q_dsir_select,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
@@ -2137,6 +2217,24 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.s, 0) + prior.p, 6) AS nb_score
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN s USING (doc_id), prior""",
+        "pp_dsir_weights": f"""
+            WITH {_sql_dsir_ctes()}
+            SELECT doc_id, lw FROM weights ORDER BY doc_id""",
+        # Gumbel key from md5('dsir:'+id) — deterministic, so the
+        # top-k sample is engine-reproducible; round-6 BEFORE the
+        # rank, doc_id tie-break (pp_quality_quantile convention)
+        "pp_dsir_select": f"""
+            WITH {_sql_dsir_ctes()},
+            keyed AS (
+              SELECT doc_id, lw,
+                     round(lw + -ln(-ln(
+                       (('0x' || substr(md5('dsir:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::UBIGINT + 0.5) / 4294967296.0)), 6)
+                       AS "key"
+              FROM weights)
+            SELECT doc_id, lw, "key" FROM keyed
+            ORDER BY "key" DESC, doc_id LIMIT {DSIR_K}""",
         # winner per md5(para) = first (doc_id, idx) — row_number
         # twin of Spark's min(struct(doc_id, idx)) aggregate
         "pp_para_dedup": """

@@ -509,6 +509,13 @@ def main() -> None:
         from rechercheinfoweb_spark.operators import pipeline
         extra["pipeline_survivors"] = pipeline.clean_corpus(
             docs, lang="en", min_quality=0.42).count()
+    # DSIR importance resampling over the FULL docs table: two
+    # bucket-count aggs (<=B rows each), broadcast ratio join,
+    # distributed Gumbel top-k — all JVM expressions
+    with timed("dsir_select"):
+        extra["dsir_selected"] = pipeline.dsir_select(
+            docs, docs.where(F.col("doc_id") % 11 == 0),
+            k=500).count()
     # C4 line rule over the full docs table: linear in paragraphs
     # (md5 winner agg + join back + per-doc rebuild)
     with timed("paragraph_dedup"):

@@ -509,3 +509,131 @@ def nb_quality_score(docs: DataFrame, model: DataFrame,
             .select("doc_id",
                     F.round(F.coalesce("s", F.lit(0.0))
                             + F.lit(prior), 6).alias("nb_score")))
+
+
+# ---- DSIR importance resampling -------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw-corpus doc by how much more likely its hashed
+# n-gram features are under a small TARGET corpus (the data you want
+# more of) than under the raw corpus itself, then sample by Gumbel
+# top-k over the importance weights.  This is the standard
+# "make 100 TB of Common Crawl look like Wikipedia" selection stage.
+
+DSIR_BUCKETS = 4096  # paper uses 10k; any B works, collisions are
+#                      part of the estimator (hashed features), not
+#                      an approximation of it
+
+
+def _dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket id: first 8 hex chars of md5 → uint32 →
+    mod B.  Same md5-prefix construction as sample_fraction_col, so
+    the DuckDB oracle computes the identical bucket from the
+    identical bytes — no RNG, no engine-private hash."""
+    return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
+            .cast("long") % n_buckets)
+
+
+def _dsir_feature_rows(docs: DataFrame,
+                       n_buckets: int) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram+bigram OCCURRENCE
+    (DSIR counts occurrences, not distinct features).  Map-side:
+    tokenize once (two-step projection per ngrams_of_tokens'
+    contract), concat unigrams with bigrams, explode, hash."""
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    grams = F.concat(F.col("_toks"),
+                     ngrams_of_tokens(F.col("_toks"), 2))
+    return (toked.select("doc_id", F.explode(grams).alias("g"))
+            .select("doc_id",
+                    _dsir_bucket(F.col("g"), n_buckets)
+                    .alias("bucket")))
+
+
+def _dsir_bucket_counts(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, c) hashed-feature counts — at most B rows out of a
+    partial-aggregated shuffle, regardless of corpus size."""
+    return (_dsir_feature_rows(docs, n_buckets)
+            .groupBy("bucket").agg(F.count("*").alias("c")))
+
+
+def dsir_ratio_table(raw: DataFrame, target: DataFrame,
+                     n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(bucket, llr) — llr = ln q̂(b) − ln p̂(b), the per-bucket log
+    importance ratio between the target (q) and raw (p) hashed
+    n-gram distributions, Laplace-smoothed over all B buckets so
+    every bucket (seen or not) has a finite ratio.
+
+    Scale shape: two corpus scans that each collapse to ≤ B rows via
+    partial aggregation; the only driver traffic is two scalar
+    totals.  The result is B rows — broadcast at score time, the
+    corpus never shuffles on feature keys (same shape as the NB
+    model above)."""
+    tc = _dsir_bucket_counts(target, n_buckets)
+    rc = _dsir_bucket_counts(raw, n_buckets)
+    tot_t = int(tc.agg(F.sum("c")).collect()[0][0] or 0)
+    tot_r = int(rc.agg(F.sum("c")).collect()[0][0] or 0)
+    joint = (tc.withColumnRenamed("c", "ct")
+             .join(rc.withColumnRenamed("c", "cr"), "bucket",
+                   "full_outer")
+             .select("bucket",
+                     F.coalesce("ct", F.lit(0)).alias("ct"),
+                     F.coalesce("cr", F.lit(0)).alias("cr")))
+    return joint.select(
+        "bucket",
+        (F.log((F.col("ct") + 1) / F.lit(float(tot_t + n_buckets)))
+         - F.log((F.col("cr") + 1)
+                 / F.lit(float(tot_r + n_buckets)))).alias("llr"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, lw) — per-doc log importance weight: Σ over the
+    doc's hashed unigram+bigram occurrences of the bucket's llr.
+    Docs with no features (empty text) weigh exactly 0.  Rounded to
+    6 decimals (repo float-oracle convention; ln/summation noise
+    sits ~1e-11).
+
+    Scale shape: one corpus scan → per-(doc, bucket) partial-agg
+    counts → broadcast join against the B-row ratio table → one
+    doc-keyed agg.  Nothing wide carries text."""
+    ratio = dsir_ratio_table(raw, target, n_buckets)
+    per = (_dsir_feature_rows(raw, n_buckets)
+           .groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+           .join(F.broadcast(ratio), "bucket")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("n") * F.col("llr")).alias("s")))
+    return (raw.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.coalesce("s", F.lit(0.0)), 6)
+                    .alias("lw")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Top-k Gumbel importance resampling: key = lw + Gumbel(doc),
+    keep the k largest keys (sampling WITHOUT replacement ∝ exp(lw),
+    the Gumbel-top-k identity the paper uses).
+
+    The Gumbel noise is deterministic — g = −ln(−ln(u)) with
+    u = (md5-prefix("dsir:"+doc_id) + 0.5) / 2³²  ∈ (0, 1) — so the
+    selection is reproducible across runs, engines and partitionings
+    (the +0.5 keeps u strictly inside the interval: u = 0 would make
+    g = −∞).  Key rounded to 6 decimals BEFORE ranking with a
+    doc_id tie-break, so rank order is engine-stable (the
+    pp_quality_quantile convention).
+
+    Returns (doc_id, lw, key) for the k selected docs."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit("dsir:"),
+                       F.col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") + F.lit(0.5))
+        / F.lit(float(SAMPLE_HASH_MOD)))
+    g = -F.log(-F.log(u))
+    keyed = (dsir_weights(raw, target, n_buckets)
+             .withColumn("key", F.round(F.col("lw") + g, 6)))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each
+    # partition keeps its local top-k and only k·P candidate rows
+    # reach the final merge — the exact top-k stays distributed at
+    # any corpus size (never a global single-partition sort)
+    return (keyed.orderBy(F.col("key").desc(), "doc_id")
+            .limit(k)
+            .select("doc_id", "lw", "key"))

@@ -485,3 +485,95 @@ def test_nb_quality_min_count_bounds_model(spark):
     assert meta1["vocab"] == 3 and meta3["vocab"] == 1
     assert {r["term"] for r in m3.collect()} == {"common"}
     assert meta3["tot_pos"] == 3 and meta3["tot_neg"] == 1
+
+
+# ---- DSIR importance resampling -------------------------------------
+
+
+def _dsir_brute(rows, target_ids, B):
+    """Pure-Python DSIR twin: hashed uni+bigram buckets via the same
+    md5-prefix bytes, Laplace-smoothed log ratio, per-doc sum."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def grams(t):
+        ts = [w.lower() for w in re.split(r"[^a-zA-Z0-9]+", t) if w]
+        return ts + [" ".join(ts[i:i + 2]) for i in range(len(ts) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    tc, rc = Counter(), Counter()
+    for did, t in rows:
+        for g in grams(t):
+            rc[bucket(g)] += 1
+            if did in target_ids:
+                tc[bucket(g)] += 1
+    tt, tr = sum(tc.values()), sum(rc.values())
+
+    def llr(b):
+        return (math.log((tc[b] + 1) / (tt + B))
+                - math.log((rc[b] + 1) / (tr + B)))
+
+    return {did: round(sum(llr(bucket(g)) for g in grams(t)), 6)
+            for did, t in rows}
+
+
+def test_dsir_weights_brute_force(spark):
+    rows = [(1, "the cat sat on the mat"),
+            (2, "spark shuffles data across the cluster"),
+            (3, "the cat and the hat"),
+            (4, ""),  # featureless doc -> weight exactly 0
+            (5, "CAT sat ON the MAT"),  # case-folds into 1's features
+            (6, "quantum flux harmonics resonate wildly")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 3)")
+    B = 64
+    exp = _dsir_brute(rows, {1, 3}, B)
+    got = {r["doc_id"]: r["lw"]
+           for r in pipeline.dsir_weights(docs, target, B).collect()}
+    assert got == pytest.approx(exp, abs=0)
+    # semantics: target docs score highest, off-distribution lowest
+    assert got[3] == max(got.values())
+    assert got[2] == min(got.values())
+    assert got[4] == 0.0
+
+
+def test_dsir_weights_partitioning_invariant(spark, small_docs):
+    target = small_docs.where("doc_id % 11 = 0")
+    a = sorted(pipeline.dsir_weights(small_docs, target, 256)
+               .collect())
+    b = sorted(pipeline.dsir_weights(small_docs.repartition(13),
+                                     target.repartition(3), 256)
+               .collect())
+    assert a == b
+
+
+def test_dsir_select_gumbel_topk(spark):
+    import hashlib
+    import math
+
+    rows = [(i, f"word{i % 5} common text body") for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where("doc_id % 4 = 0")
+    B, k = 128, 10
+    sel = pipeline.dsir_select(docs, target, k, B).collect()
+    assert len(sel) == k
+    # twin: recompute keys from the brute weights + the same
+    # deterministic Gumbel and verify the exact top-k set
+    exp_lw = _dsir_brute(rows, {i for i, _ in rows if i % 4 == 0}, B)
+
+    def key(did):
+        u = (int(hashlib.md5(f"dsir:{did}".encode())
+                 .hexdigest()[:8], 16) + 0.5) / 2 ** 32
+        return round(exp_lw[did] + -math.log(-math.log(u)), 6)
+
+    exp_top = sorted(rows, key=lambda r: (-key(r[0]), r[0]))[:k]
+    assert [(r["doc_id"], r["key"]) for r in
+            sorted(sel, key=lambda r: (-r["key"], r["doc_id"]))] \
+        == [(d, key(d)) for d, _ in exp_top]
+    # every selected row carries its weight
+    for r in sel:
+        assert r["lw"] == exp_lw[r["doc_id"]]
