@@ -538,6 +538,101 @@ def _q_dsir_select(spark, sf_dir):
     return pipeline.dsir_select(docs, target, DSIR_K)
 
 
+LM_MIN_COUNT = 2   # exercise the pruned-bigram backoff path
+LM_KEEP_FRAC = 0.3
+
+
+# Backoff-LM oracle CTEs (shared by pp_lm_score / pp_lm_filter):
+# DuckDB retrains the pruned stupid-backoff bigram LM relationally —
+# unpruned Laplace scalars, min_count-pruned unigram/bigram tables,
+# UNPRUNED context denominators — and rescores every doc positionally
+# (first token unigram-only, later tokens bigram-or-backoff).
+# Summation ORDER differs (SQL sums ln_s per position; Spark sums
+# n·ln_s per (doc,prev,w) group) — same value, round-6 absorbs ulps.
+def _sql_lm_ctes():
+    from rechercheinfoweb_spark.operators.pipeline import LM_ALPHA
+    MC, MOD, A = LM_MIN_COUNT, DSIR_TARGET_MOD, LM_ALPHA
+    return f"""
+            toksd AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            tgt AS (SELECT toks FROM toksd WHERE doc_id % {MOD} = 0),
+            tuni AS (SELECT u.w, count(*) AS cu
+                     FROM tgt, unnest(toks) AS u(w) GROUP BY u.w),
+            tot AS (SELECT coalesce(sum(cu), 0) AS t,
+                           count(*) AS v FROM tuni),
+            uni AS (SELECT w, cu FROM tuni WHERE cu >= {MC}),
+            tbi AS (SELECT toks[i] AS prev, toks[i + 1] AS w,
+                           count(*) AS cb
+                    FROM tgt, unnest(range(1, len(toks))) AS r(i)
+                    GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(cb) AS cc FROM tbi GROUP BY prev),
+            bim AS (SELECT b.prev, b.w, b.cb, c.cc
+                    FROM tbi b JOIN ctx c USING (prev)
+                    WHERE b.cb >= {MC}),
+            pairs AS (
+              SELECT doc_id, NULL AS prev, toks[1] AS w
+              FROM toksd WHERE len(toks) >= 1
+              UNION ALL
+              SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+              FROM toksd, unnest(range(1, len(toks))) AS r(i)),
+            persc AS (
+              SELECT doc_id,
+                CASE
+                  WHEN bm.cb IS NOT NULL
+                    THEN ln(bm.cb / bm.cc::DOUBLE)
+                  WHEN p.prev IS NOT NULL
+                    THEN ln({A}) + ln((coalesce(u.cu, 0) + 1)
+                                      / ((t + v + 1)::DOUBLE))
+                  ELSE ln((coalesce(u.cu, 0) + 1)
+                          / ((t + v + 1)::DOUBLE))
+                END AS ln_s
+              FROM pairs p
+              LEFT JOIN uni u ON p.w = u.w
+              LEFT JOIN bim bm ON p.prev = bm.prev AND p.w = bm.w,
+              tot),
+            lm_scored AS (
+              SELECT d.doc_id,
+                     coalesce(x.cnt, 0) AS n_tok,
+                     round(coalesce(-x.s / x.cnt, 0), 6) AS lm_score
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT)
+                                            AS cnt,
+                                sum(ln_s) AS s
+                         FROM persc GROUP BY doc_id) x
+              USING (doc_id))"""
+
+
+def _lm_model(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return docs, target
+
+
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style LM scoring: pruned stupid-backoff bigram LM
+    (Brants et al. 2007) trained on a target slice (doc_id%11==0),
+    scoring every doc by mean negative log backoff score (lower =
+    more target-like).  Model tables are min_count-pruned and
+    broadcast; the corpus never shuffles on term strings."""
+    docs, target = _lm_model(spark, sf_dir)
+    uni, bi, ctx, meta = pipeline.train_backoff_lm(
+        target, LM_MIN_COUNT)
+    return pipeline.lm_doc_scores(docs, uni, bi, ctx, meta)
+
+
+def _q_lm_filter(spark, sf_dir):
+    """CCNet head gate: keep the keep_frac of docs with the lowest
+    lm_score — distributed exact bottom-k via
+    TakeOrderedAndProject, doc_id tie-break."""
+    docs, target = _lm_model(spark, sf_dir)
+    return pipeline.lm_perplexity_filter(docs, target,
+                                         LM_KEEP_FRAC, LM_MIN_COUNT)
+
+
 def _q_para_dedup(spark, sf_dir):
     """Cross-document paragraph dedup (C4/RefinedWeb line rule):
     a repeated trimmed line survives only at its first (doc_id,
@@ -1601,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_nb_quality": _q_nb_quality,
         "pp_dsir_weights": _q_dsir_weights,
         "pp_dsir_select": _q_dsir_select,
+        "pp_lm_score": _q_lm_score,
+        "pp_lm_filter": _q_lm_filter,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
@@ -2223,6 +2320,18 @@ def oracle_sql() -> dict[str, str]:
         # Gumbel key from md5('dsir:'+id) — deterministic, so the
         # top-k sample is engine-reproducible; round-6 BEFORE the
         # rank, doc_id tie-break (pp_quality_quantile convention)
+        "pp_lm_score": f"""
+            WITH {_sql_lm_ctes()}
+            SELECT doc_id, n_tok, lm_score FROM lm_scored
+            ORDER BY doc_id""",
+        # head gate: QUALIFY row_number twin of Spark's
+        # orderBy(lm_score, doc_id).limit(ceil(frac·n))
+        "pp_lm_filter": f"""
+            WITH {_sql_lm_ctes()}
+            SELECT doc_id, n_tok, lm_score FROM lm_scored
+            QUALIFY row_number() OVER (ORDER BY lm_score, doc_id)
+                    <= ceil({LM_KEEP_FRAC} * count(*) OVER ())
+            ORDER BY doc_id""",
         "pp_dsir_select": f"""
             WITH {_sql_dsir_ctes()},
             keyed AS (

@@ -516,6 +516,13 @@ def main() -> None:
         extra["dsir_selected"] = pipeline.dsir_select(
             docs, docs.where(F.col("doc_id") % 11 == 0),
             k=500).count()
+    # CCNet LM gate over the FULL docs table: pruned backoff-bigram
+    # model (two target-slice count aggs, all tables broadcast),
+    # score + distributed bottom-k — no corpus shuffle on terms
+    with timed("lm_perplexity_filter"):
+        extra["lm_kept"] = pipeline.lm_perplexity_filter(
+            docs, docs.where(F.col("doc_id") % 11 == 0),
+            keep_frac=0.3, min_count=2).count()
     # C4 line rule over the full docs table: linear in paragraphs
     # (md5 winner agg + join back + per-doc rebuild)
     with timed("paragraph_dedup"):

@@ -637,3 +637,134 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     return (keyed.orderBy(F.col("key").desc(), "doc_id")
             .limit(k)
             .select("doc_id", "lw", "key"))
+
+
+# ---- Bigram-LM perplexity scoring (CCNet stage) ----------------------
+# CCNet (Wenzek et al. 2020) ranks Common-Crawl pages by the
+# perplexity of a small LM trained on a clean target corpus and keeps
+# the low-perplexity head.  The LM here is a pruned bigram model with
+# STUPID BACKOFF (Brants et al. 2007 — the smoothing invented FOR
+# web-scale LMs precisely because it needs only raw counts, no
+# discounting statistics): S(w|prev) = c(prev,w)/c(prev·) when the
+# bigram survives pruning, else alpha * S(w); S(w) is the
+# Laplace-smoothed unigram so out-of-vocabulary tokens stay finite.
+# The per-doc score is the mean negative log-score — perplexity in
+# log space (stupid backoff is unnormalized, so "score", not
+# "probability"; ranking/filtering only needs monotonicity, which is
+# exactly how the paper uses it).
+
+LM_ALPHA = 0.4  # Brants et al.'s published backoff weight
+
+
+def train_backoff_lm(target: DataFrame, min_count: int = 1):
+    """Train the pruned backoff bigram LM on a (small) target corpus.
+
+    Returns ``(uni, bi, ctx, meta)``:
+      * ``uni``  (w, cu)        unigram counts surviving ``min_count``
+      * ``bi``   (prev, w, cb)  bigram counts surviving ``min_count``
+      * ``ctx``  (prev, cc)     UNPRUNED context totals (Σ_w c(prev,w))
+                                for prevs that kept >=1 bigram — the
+                                pruned-LM convention: surviving
+                                bigrams keep their true denominator
+      * ``meta`` {"tot": T, "vocab": V} unpruned unigram scalars for
+                                the Laplace floor (c+1)/(T+V+1)
+
+    Scale shape: two corpus scans, each collapsing to count tables via
+    partial aggregation; ``min_count`` bounds all three tables (they
+    are broadcast at score time), the way real web LMs are pruned.
+    Driver traffic is two scalars."""
+    toked = target.select(lower_tokens_col().alias("_toks"))
+    uni_all = (toked.select(F.explode("_toks").alias("w"))
+               .groupBy("w").agg(F.count("*").alias("cu")))
+    uni_all = uni_all.persist()
+    agg = uni_all.agg(F.sum("cu").alias("t"),
+                      F.count("*").alias("v")).collect()[0]
+    meta = {"tot": int(agg["t"] or 0), "vocab": int(agg["v"])}
+    uni = uni_all.where(F.col("cu") >= min_count).localCheckpoint()
+    uni_all.unpersist()
+    bi_all = (toked.select(F.explode(
+        ngrams_of_tokens(F.col("_toks"), 2)).alias("g"))
+        .select(F.split("g", " ")[0].alias("prev"),
+                F.split("g", " ")[1].alias("w"))
+        .groupBy("prev", "w").agg(F.count("*").alias("cb")))
+    bi_all = bi_all.persist()
+    ctx_all = bi_all.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    bi = bi_all.where(F.col("cb") >= min_count).localCheckpoint()
+    ctx = (ctx_all.join(bi.select("prev").distinct(), "prev")
+           .localCheckpoint())
+    bi_all.unpersist()
+    return uni, bi, ctx, meta
+
+
+def lm_doc_scores(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                  ctx: DataFrame, meta: dict,
+                  alpha: float = LM_ALPHA) -> DataFrame:
+    """(doc_id, n_tok, lm_score) — lm_score = −(1/n)·Σ ln S, the
+    per-token mean negative log backoff score (lower = more
+    target-like; CCNet keeps the low head).  Position 1 scores by
+    the unigram alone (no context); later positions by
+    ln(cb/cc) when the pruned bigram exists, else
+    ln(alpha) + ln(S_uni).  Empty docs: n_tok = 0, lm_score = 0.0.
+    Rounded to 6 decimals (float-oracle convention).
+
+    Scale shape: one corpus scan builds (prev, w) pair counts
+    map-side (zip_with over two token-array slices — no posexplode,
+    the token array is never duplicated per row); all three model
+    tables join BROADCAST, so the corpus never shuffles on term
+    strings; the only wide exchanges are the two doc-keyed
+    partial-agg groupBys."""
+    t_v1 = float(meta["tot"] + meta["vocab"] + 1)
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    sz = F.size("_toks")
+    first = F.when(sz >= 1, F.array(F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at("_toks", 1).alias("w")))
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    rest = F.when(sz >= 2, F.zip_with(
+        F.slice("_toks", 1, sz - 1), F.slice("_toks", 2, sz - 1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("w")))
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    pairs = (toked.select("doc_id",
+                          F.explode(F.concat(first, rest)).alias("pr"))
+             .select("doc_id", "pr.prev", "pr.w")
+             .groupBy("doc_id", "prev", "w")
+             .agg(F.count("*").alias("n")))
+    ln_uni = F.log((F.coalesce("cu", F.lit(0)) + 1) / F.lit(t_v1))
+    ln_s = (F.when(F.col("cb").isNotNull(),
+                   F.log(F.col("cb") / F.col("cc")))
+            .when(F.col("prev").isNotNull(),
+                  F.lit(float(np.log(alpha))) + ln_uni)
+            .otherwise(ln_uni))
+    scored = (pairs
+              .join(F.broadcast(uni), "w", "left")
+              .join(F.broadcast(bi), ["prev", "w"], "left")
+              .join(F.broadcast(ctx), "prev", "left")
+              .withColumn("ln_s", ln_s)
+              .groupBy("doc_id")
+              .agg(F.sum("n").alias("n_tok"),
+                   F.sum(F.col("n") * F.col("ln_s")).alias("s")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+                    F.round(F.coalesce(-F.col("s") / F.col("n_tok"),
+                                       F.lit(0.0)), 6)
+                    .alias("lm_score")))
+
+
+def lm_perplexity_filter(docs: DataFrame, target: DataFrame,
+                         keep_frac: float, min_count: int = 1,
+                         alpha: float = LM_ALPHA) -> DataFrame:
+    """CCNet head gate: keep the ``keep_frac`` of docs with the
+    LOWEST lm_score (most target-like).  Deterministic rank-based
+    cutoff with doc_id tie-break — the quality_quantile_filter
+    convention (percentile_approx swap documented there for
+    100 TB)."""
+    uni, bi, ctx, meta = train_backoff_lm(target, min_count)
+    scores = lm_doc_scores(docs, uni, bi, ctx, meta, alpha)
+    keep = int(np.ceil(keep_frac * scores.count()))
+    # bottom-k via orderBy().limit() = TakeOrderedAndProject: each
+    # partition keeps its local k, only k·P candidates reach the
+    # merge — never a global single-partition window (the
+    # dsir_select scheme)
+    return (scores.orderBy("lm_score", "doc_id").limit(keep)
+            .select("doc_id", "n_tok", "lm_score"))

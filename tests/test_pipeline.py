@@ -577,3 +577,112 @@ def test_dsir_select_gumbel_topk(spark):
     # every selected row carries its weight
     for r in sel:
         assert r["lw"] == exp_lw[r["doc_id"]]
+
+
+# ---- backoff-LM perplexity (CCNet stage) -----------------------------
+
+
+def _lm_brute(rows, target_ids, min_count=1, alpha=0.4):
+    """Pure-Python twin of train_backoff_lm + lm_doc_scores."""
+    import math
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w.lower() for w in re.split(r"[^a-zA-Z0-9]+", t) if w]
+
+    uni_all, bi_all = Counter(), Counter()
+    for did, t in rows:
+        if did not in target_ids:
+            continue
+        ts = toks(t)
+        uni_all.update(ts)
+        bi_all.update(zip(ts, ts[1:]))
+    tot, vocab = sum(uni_all.values()), len(uni_all)
+    uni = {w: c for w, c in uni_all.items() if c >= min_count}
+    ctx = Counter()
+    for (p, _w), c in bi_all.items():
+        ctx[p] += c
+    bi = {pw: c for pw, c in bi_all.items() if c >= min_count}
+
+    def ln_uni(w):
+        return math.log((uni.get(w, 0) + 1) / (tot + vocab + 1))
+
+    out = {}
+    for did, t in rows:
+        ts = toks(t)
+        if not ts:
+            out[did] = (0, 0.0)
+            continue
+        s = ln_uni(ts[0])
+        for p, w in zip(ts, ts[1:]):
+            if (p, w) in bi:
+                s += math.log(bi[(p, w)] / ctx[p])
+            else:
+                s += math.log(alpha) + ln_uni(w)
+        out[did] = (len(ts), round(-s / len(ts), 6))
+    return out
+
+
+LM_ROWS = [(1, "the cat sat on the mat"),
+           (2, "the cat sat on the cat"),
+           (3, "spark shuffles data across the cluster"),
+           (4, ""),                      # empty -> (0, 0.0)
+           (5, "mat"),                   # single token: unigram only
+           (6, "zz qq zz qq unseen"),    # OOV-heavy
+           (7, "the mat sat on a cat")]
+
+
+@pytest.mark.parametrize("min_count", [1, 2])
+def test_lm_scores_brute_force(spark, min_count):
+    docs = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 2)")
+    exp = _lm_brute(LM_ROWS, {1, 2}, min_count=min_count)
+    uni, bi, ctx, meta = pipeline.train_backoff_lm(target, min_count)
+    got = {r["doc_id"]: (r["n_tok"], r["lm_score"])
+           for r in pipeline.lm_doc_scores(
+               docs, uni, bi, ctx, meta).collect()}
+    assert got == exp
+    # semantics: the two target docs score lowest, OOV-heavy highest
+    sc = {d: v[1] for d, v in got.items() if v[0] > 0}
+    assert sorted(sc, key=sc.get)[:2] == [2, 1]
+    assert sc[6] == max(sc.values())
+    assert got[4] == (0, 0.0)
+
+
+def test_lm_min_count_prunes_model(spark):
+    docs = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 2)")
+    uni1, bi1, _, meta1 = pipeline.train_backoff_lm(target, 1)
+    uni2, bi2, _, meta2 = pipeline.train_backoff_lm(target, 2)
+    assert uni2.count() < uni1.count()
+    assert bi2.count() < bi1.count()
+    # Laplace scalars are UNpruned — same under any cutoff
+    assert meta1 == meta2
+    # surviving bigrams keep their true (unpruned) denominator
+    kept = {(r["prev"], r["w"]) for r in bi2.collect()}
+    assert ("the", "cat") in kept  # appears 3x across target
+
+
+def test_lm_scores_partitioning_invariant(spark, small_docs):
+    target = small_docs.where("doc_id % 11 = 0")
+    uni, bi, ctx, meta = pipeline.train_backoff_lm(target, 2)
+    a = sorted(pipeline.lm_doc_scores(small_docs, uni, bi, ctx,
+                                      meta).collect())
+    uni2, bi2, ctx2, meta2 = pipeline.train_backoff_lm(
+        target.repartition(3), 2)
+    b = sorted(pipeline.lm_doc_scores(
+        small_docs.repartition(13), uni2, bi2, ctx2,
+        meta2).collect())
+    assert a == b
+
+
+def test_lm_perplexity_filter_head(spark):
+    docs = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 2)")
+    kept = pipeline.lm_perplexity_filter(docs, target, 3 / 7)
+    rows = kept.collect()
+    assert len(rows) == 3  # ceil(7 * 3/7)
+    exp = _lm_brute(LM_ROWS, {1, 2})
+    exp_head = sorted(exp, key=lambda d: (exp[d][1], d))[:3]
+    assert sorted(r["doc_id"] for r in rows) == sorted(exp_head)
