@@ -633,6 +633,37 @@ def _q_lm_filter(spark, sf_dir):
                                          LM_KEEP_FRAC, LM_MIN_COUNT)
 
 
+def _q_gopher(spark, sf_dir):
+    """Gopher A1 document-quality rules (Rae et al. 2021): per-doc
+    features (word counts, symbol/bullet/ellipsis ratios, alpha-word
+    fraction, required-stopword hits) + composite keep gate, one
+    map-side projection."""
+    return textstats.gopher_quality_stats(_docs(spark, sf_dir))
+
+
+def _q_c4_clean(spark, sf_dir):
+    """C4 page-cleaning rules (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >=5 words and no
+    'javascript'; drop pages with '{', 'lorem ipsum', or <3
+    sentence ends surviving.  One map-side projection — zero
+    shuffles.
+
+    The synthetic documents table is single-line and unpunctuated
+    (every C4 rule would be vacuous), so the contract derives a
+    deterministic punctuated multi-line variant first — literal
+    replaces both engines apply identically: ' batch '→sentence
+    break, ' stream '→ellipsis break, ' slow '→'javascript', and a
+    '{{' prefix on doc_id%17==0 pages — exercising every line AND
+    page rule on real data."""
+    docs = _docs(spark, sf_dir)
+    t = F.replace(F.col("text"), F.lit(" batch "), F.lit(".\n"))
+    t = F.replace(t, F.lit(" stream "), F.lit("…\n"))
+    t = F.replace(t, F.lit(" slow "), F.lit(" javascript "))
+    t = F.when(F.col("doc_id") % 17 == 0,
+               F.concat(F.lit("{ "), t)).otherwise(t)
+    return pipeline.c4_clean(docs.select("doc_id", t.alias("text")))
+
+
 def _q_para_dedup(spark, sf_dir):
     """Cross-document paragraph dedup (C4/RefinedWeb line rule):
     a repeated trimmed line survives only at its first (doc_id,
@@ -1698,6 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_dsir_select": _q_dsir_select,
         "pp_lm_score": _q_lm_score,
         "pp_lm_filter": _q_lm_filter,
+        "pp_c4_clean": _q_c4_clean,
+        "ts_gopher": _q_gopher,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,
@@ -2320,6 +2353,118 @@ def oracle_sql() -> dict[str, str]:
         # Gumbel key from md5('dsir:'+id) — deterministic, so the
         # top-k sample is engine-reproducible; round-6 BEFORE the
         # rank, doc_id tie-break (pp_quality_quantile convention)
+        # Gopher A1: identical word/line splits, regexes, thresholds
+        "ts_gopher": f"""
+            WITH g AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines,
+                     list_transform(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                         t -> lower(t)) AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                greatest(len(words), 1)::DOUBLE AS wdiv,
+                greatest(len(lines), 1)::DOUBLE AS ldiv,
+                coalesce(list_sum(list_transform(
+                    words, w -> length(w))), 0)::DOUBLE AS wlen,
+                (length(text)
+                 - length(replace(text, '#', '')))::DOUBLE AS n_hash,
+                len(regexp_extract_all(
+                    text, '{textstats.ELLIPSIS_RE}'))::DOUBLE AS n_ell,
+                len(list_filter(lines, l ->
+                    regexp_matches(l, '^[•\\-\\*]')))::DOUBLE AS bul,
+                len(list_filter(lines, l -> regexp_matches(
+                    l, '{textstats.ELLIPSIS_RE}$')))::DOUBLE AS ele,
+                len(list_filter(words, w -> regexp_matches(
+                    w, '[A-Za-z]')))::DOUBLE AS alp,
+                CAST(len(list_filter(
+                    {list(textstats.GOPHER_STOPWORDS)},
+                    s -> list_contains(toks, s))) AS BIGINT)
+                    AS stop_hits
+              FROM g),
+            s AS (
+              SELECT doc_id, n_words,
+                     round(wlen / wdiv, 6) AS mean_word_len,
+                     round(n_hash / wdiv, 6) AS hash_ratio,
+                     round(n_ell / wdiv, 6) AS ellipsis_ratio,
+                     round(bul / ldiv, 6) AS bullet_line_frac,
+                     round(ele / ldiv, 6) AS ellipsis_line_frac,
+                     round(alp / wdiv, 6) AS alpha_word_frac,
+                     stop_hits
+              FROM f)
+            SELECT *,
+              CASE WHEN n_words >= {textstats.GOPHER_MIN_WORDS}
+                    AND n_words <= {textstats.GOPHER_MAX_WORDS}
+                    AND mean_word_len
+                        >= {textstats.GOPHER_MIN_MEAN_WORD_LEN}
+                    AND mean_word_len
+                        <= {textstats.GOPHER_MAX_MEAN_WORD_LEN}
+                    AND hash_ratio
+                        <= {textstats.GOPHER_MAX_SYMBOL_RATIO}
+                    AND ellipsis_ratio
+                        <= {textstats.GOPHER_MAX_SYMBOL_RATIO}
+                    AND bullet_line_frac
+                        <= {textstats.GOPHER_MAX_BULLET_LINE_FRAC}
+                    AND ellipsis_line_frac
+                        <= {textstats.GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+                    AND alpha_word_frac
+                        >= {textstats.GOPHER_MIN_ALPHA_WORD_FRAC}
+                    AND stop_hits >= {textstats.GOPHER_MIN_STOP_HITS}
+                   THEN 1 ELSE 0 END AS keep
+            FROM s ORDER BY doc_id""",
+        # C4 rules: same trimmed-line split, kept-line regexes, and
+        # sentence-end count; page gates on the RAW text (paper
+        # wording: "any page that contained")
+        "pp_c4_clean": f"""
+            WITH c4d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0
+                          THEN chr(123) || ' ' ELSE '' END ||
+                     replace(replace(replace(text,
+                         ' batch ', '.' || chr(10)),
+                         ' stream ', '…' || chr(10)),
+                         ' slow ', ' javascript ') AS text
+              FROM documents),
+            c4l AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines
+              FROM c4d),
+            c4k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines,
+                       l -> regexp_matches(l, '{pipeline.C4_END_RE}')
+                        AND len(list_filter(string_split_regex(
+                                l, '\\s+'), w -> w <> ''))
+                            >= {pipeline.C4_MIN_WORDS_PER_LINE}
+                        AND NOT regexp_matches(
+                                l, '{pipeline.C4_JS_RE}')) AS kept
+              FROM c4l),
+            c4c AS (
+              SELECT doc_id, text,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(kept) AS BIGINT) AS n_kept,
+                     array_to_string(kept, chr(10)) AS text_clean
+              FROM c4k)
+            SELECT doc_id, n_lines, n_kept,
+                   CAST(length(regexp_replace(
+                       text_clean, '[^.!?]', '', 'g')) AS BIGINT)
+                       AS n_sent,
+                   text_clean
+            FROM c4c
+            WHERE NOT contains(text, chr(123))
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND length(regexp_replace(
+                  text_clean, '[^.!?]', '', 'g'))
+                  >= {pipeline.C4_MIN_SENTENCES}
+            ORDER BY doc_id""",
         "pp_lm_score": f"""
             WITH {_sql_lm_ctes()}
             SELECT doc_id, n_tok, lm_score FROM lm_scored

@@ -516,6 +516,20 @@ def main() -> None:
         extra["dsir_selected"] = pipeline.dsir_select(
             docs, docs.where(F.col("doc_id") % 11 == 0),
             k=500).count()
+    # C4 page rules over the FULL docs table: one map-side
+    # projection, zero shuffles.  Same deterministic punctuated
+    # derivation as the pp_c4_clean contract query (the synthetic
+    # table is unpunctuated — raw rules would be vacuous).
+    with timed("c4_clean"):
+        _t = F.replace(F.col("text"), F.lit(" batch "), F.lit(".\n"))
+        _t = F.replace(_t, F.lit(" stream "), F.lit("…\n"))
+        _t = F.replace(_t, F.lit(" slow "), F.lit(" javascript "))
+        extra["c4_survivors"] = pipeline.c4_clean(
+            docs.select("doc_id", _t.alias("text"))).count()
+    # Gopher A1 quality gate: same shape (map-side, zero shuffles)
+    with timed("gopher_filter"):
+        from rechercheinfoweb_spark.operators import textstats as _ts
+        extra["gopher_survivors"] = _ts.gopher_filter(docs).count()
     # CCNet LM gate over the FULL docs table: pruned backoff-bigram
     # model (two target-slice count aggs, all tables broadcast),
     # score + distributed bottom-k — no corpus shuffle on terms

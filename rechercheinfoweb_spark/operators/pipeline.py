@@ -768,3 +768,61 @@ def lm_perplexity_filter(docs: DataFrame, target: DataFrame,
     # dsir_select scheme)
     return (scores.orderBy("lm_score", "doc_id").limit(keep)
             .select("doc_id", "n_tok", "lm_score"))
+
+
+# ---- C4 page cleaning rules ------------------------------------------
+# The line/page heuristics of C4 (Raffel et al. 2020, §2.2) — the
+# other canonical Common-Crawl cleaning recipe next to CCNet above:
+# keep a line only if it ends in terminal punctuation, has enough
+# words, and doesn't mention javascript; drop a page outright on
+# boilerplate markers (curly brace = leftover code, "lorem ipsum" =
+# placeholder) or when too little sentence-like text survives.  The
+# paper's separate line-DEDUP rule ("three-sentence span seen
+# before") is `paragraph_dedup` above; this operator is the
+# rule-based half.
+
+C4_END_RE = '[.!?"]$'                  # paper's terminal marks . ! ? "
+C4_JS_RE = r"(?i)\bjavascript\b"       # "any line with the word Javascript"
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_clean(docs: DataFrame,
+             min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+             min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_sent, text_clean) for the pages
+    that SURVIVE the C4 page rules; ``text_clean`` is the kept lines
+    rejoined with newlines.
+
+    Line kept iff (trimmed): ends in ``. ! ? "``, has >=
+    ``min_words_per_line`` whitespace words, and doesn't contain the
+    word "javascript" (case-insensitive).  Page dropped iff the raw
+    text contains ``{`` or "lorem ipsum" (case-insensitive), or the
+    kept lines carry < ``min_sentences`` sentence ends (count of
+    ``. ! ?`` characters — a deterministic SQL-portable proxy for
+    the paper's NLTK sentence count, documented deviation).
+
+    Scale shape: one map-side projection — every rule is an array /
+    regexp built-in over the line split, zero shuffles, whole-stage
+    codegen; the corpus is scanned once and never exchanged."""
+    from .textstats import _lines_col
+    words_ok = lambda l: F.size(F.split(l, r"\s+")) >= min_words_per_line
+    kept = F.filter(
+        _lines_col(),
+        lambda l: l.rlike(C4_END_RE) & words_ok(l)
+        & ~l.rlike(C4_JS_RE))
+    out = (docs
+           .withColumn("_lines", _lines_col())
+           .withColumn("_kept", kept)
+           .withColumn("_clean", F.array_join("_kept", "\n"))
+           .withColumn("_nsent", F.length(
+               F.regexp_replace("_clean", "[^.!?]", ""))))
+    page_ok = (~F.col("text").contains("{")
+               & ~F.lower("text").contains("lorem ipsum")
+               & (F.col("_nsent") >= min_sentences))
+    return (out.where(page_ok)
+            .select("doc_id",
+                    F.size("_lines").cast("long").alias("n_lines"),
+                    F.size("_kept").cast("long").alias("n_kept"),
+                    F.col("_nsent").cast("long").alias("n_sent"),
+                    F.col("_clean").alias("text_clean")))

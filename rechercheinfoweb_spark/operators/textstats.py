@@ -344,3 +344,96 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         F.md5("text").alias("exact_md5"),
         F.md5(norm).alias("norm_fingerprint"),
     )
+
+
+# ---- Gopher document-quality rules -----------------------------------
+# Rae et al. 2021 (Gopher), Table A1 "quality filtering": the
+# rule-based document gate every later pipeline (MassiveText,
+# RefinedWeb, Dolma) reuses.  §A1.1's repetition half is
+# :func:`repetition_stats`; this is the quality half.  All features
+# are one map-side projection (regexp/array built-ins, zero
+# shuffles), thresholds are the paper's published numbers.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1       # '#' or ellipsis, each per word
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+# the paper's required-stopword list (>=2 must appear)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+ELLIPSIS_RE = r"(\.\.\.|…)"
+
+
+def gopher_quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher A1 quality features + the composite ``keep``
+    gate (1 = survives every rule):
+
+      * ``n_words`` whitespace words; ``mean_word_len``
+      * ``hash_ratio`` / ``ellipsis_ratio``: '#' chars and ellipsis
+        occurrences ("..." or U+2026) per word
+      * ``bullet_line_frac`` lines starting with a bullet (• - *)
+      * ``ellipsis_line_frac`` lines ending in an ellipsis
+      * ``alpha_word_frac`` words containing >=1 [A-Za-z]
+      * ``stop_hits`` how many of the paper's 8 required stopwords
+        appear as tokens
+
+    Floats rounded to 6 (oracle convention); zero-word / zero-line
+    docs get 0 features and fail the gate on the word-count rule."""
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
+    zero = F.lit(0).cast("long")
+    mean_wl = F.round(
+        F.aggregate(words, zero,
+                    lambda a, w: a + F.length(w).cast("long")) / wdiv, 6)
+    n_hash = (F.length("text")
+              - F.length(F.replace("text", F.lit("#"), F.lit(""))))
+    n_ell = F.size(F.regexp_extract_all("text", F.lit(ELLIPSIS_RE), 0))
+    lines = _lines_col()
+    n_lines = F.size(lines)
+    ldiv = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^[•\-\*]")))
+    ell_end = F.size(F.filter(
+        lines, lambda l: l.rlike(ELLIPSIS_RE + "$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = lower_tokens_col()
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(toks, s))).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        F.round(n_hash / wdiv, 6).alias("hash_ratio"),
+        F.round(n_ell / wdiv, 6).alias("ellipsis_ratio"),
+        F.round(bullet / ldiv, 6).alias("bullet_line_frac"),
+        F.round(ell_end / ldiv, 6).alias("ellipsis_line_frac"),
+        F.round(alpha / wdiv, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"))
+    keep = ((F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (F.col("hash_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("ellipsis_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+            & (F.col("ellipsis_line_frac")
+               <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+            & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+            & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS))
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Docs surviving every Gopher A1 quality rule — semi-join on
+    doc_id keys only (the wide text column is never shuffled; the
+    stats projection is map-side so this is one scan + one
+    broadcast-free key join back onto the same scan)."""
+    kept = gopher_quality_stats(docs).where(F.col("keep") == 1)
+    return docs.join(kept.select("doc_id"), "doc_id", "left_semi")

@@ -686,3 +686,145 @@ def test_lm_perplexity_filter_head(spark):
     exp = _lm_brute(LM_ROWS, {1, 2})
     exp_head = sorted(exp, key=lambda d: (exp[d][1], d))[:3]
     assert sorted(r["doc_id"] for r in rows) == sorted(exp_head)
+
+
+# ---- C4 page cleaning rules ------------------------------------------
+
+
+def _c4_brute(rows, min_words=5, min_sent=3):
+    import re
+    out = {}
+    for did, t in rows:
+        if "{" in t or "lorem ipsum" in t.lower():
+            continue
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        kept = [l for l in lines
+                if re.search(r'[.!?"]$', l)
+                and len(re.split(r"\s+", l)) >= min_words
+                and not re.search(r"(?i)\bjavascript\b", l)]
+        clean = "\n".join(kept)
+        n_sent = sum(c in ".!?" for c in clean)
+        if n_sent >= min_sent:
+            out[did] = (len(lines), len(kept), n_sent, clean)
+    return out
+
+
+C4_ROWS = [
+    (1, 'A good long sentence with many words here.\n'
+        'Another fine sentence that also ends well!\n'
+        'And a third one, asking a question perhaps?'),
+    (2, 'too short.\nno terminal punctuation on this long line\n'
+        'This line mentions JavaScript libraries all over it.\n'
+        'Only one good surviving sentence lives right here.'),
+    (3, 'Curly brace page with code { return 0; }\n'
+        'Great sentences do not save this page at all.'),
+    (4, 'Lorem Ipsum dolor sit amet is placeholder filler.\n'
+        'Great sentences do not save this page either way.'),
+    (5, ''),
+    (6, 'One single sentence, even a long one, is not enough. '
+        'Unless it has multiple sentence ends! See?'),  # one LINE, 3 ends
+    (7, 'Ends with a quoted phrase "like this one does."\n'
+        'Second line is also quite long and ends properly.\n'
+        'Third keeps the page over the sentence minimum.'),
+]
+
+
+def test_c4_clean_brute_force(spark):
+    docs = spark.createDataFrame(C4_ROWS, "doc_id long, text string")
+    exp = _c4_brute(C4_ROWS)
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_sent"],
+                         r["text_clean"])
+           for r in pipeline.c4_clean(docs).collect()}
+    assert got == exp
+    # page semantics: 1 survives whole; 2 loses 3 lines but dies on
+    # the <3-sentence rule; 3 curly, 4 lorem, 5 empty all dropped;
+    # 6 survives on ONE line carrying 3 sentence ends; 7 survives
+    assert set(got) == {1, 6, 7}
+    assert got[1][1] == 3 and got[6][1] == 1
+
+
+def test_c4_clean_map_side_plan(spark):
+    docs = spark.createDataFrame(C4_ROWS, "doc_id long, text string")
+    plan = pipeline.c4_clean(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure projection
+
+
+# ---- Gopher A1 quality rules -----------------------------------------
+
+
+def _gopher_brute(rows):
+    import re
+    out = {}
+    for did, t in rows:
+        words = [w for w in re.split(r"\s+", t) if w]
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        toks = {w.lower()
+                for w in re.split(r"[^a-zA-Z0-9]+", t) if w}
+        nw, nl = len(words), len(lines)
+        wdiv, ldiv = max(nw, 1), max(nl, 1)
+        mean_wl = round(sum(map(len, words)) / wdiv, 6)
+        hr = round(t.count("#") / wdiv, 6)
+        er = round(len(re.findall(r"(\.\.\.|…)", t)) / wdiv, 6)
+        bf = round(sum(bool(re.match(r"^[•\-\*]", l))
+                       for l in lines) / ldiv, 6)
+        ef = round(sum(bool(re.search(r"(\.\.\.|…)$", l))
+                       for l in lines) / ldiv, 6)
+        af = round(sum(bool(re.search("[A-Za-z]", w))
+                       for w in words) / wdiv, 6)
+        sh = sum(s in toks for s in textstats.GOPHER_STOPWORDS)
+        keep = int(50 <= nw <= 100_000 and 3 <= mean_wl <= 10
+                   and hr <= 0.1 and er <= 0.1 and bf <= 0.9
+                   and ef <= 0.3 and af >= 0.8 and sh >= 2)
+        out[did] = (nw, mean_wl, hr, er, bf, ef, af, sh, keep)
+    return out
+
+
+GOOD_PAGE = ("The quick brown fox jumps over the lazy dog today. "
+             * 8 + "\nIt would have been fine to be here with all "
+             "of that and more words of text.")
+GOPHER_ROWS = [
+    (1, GOOD_PAGE),
+    (2, "short page."),                              # word count
+    (3, "# " * 60 + "the be of and have with that"),  # hash ratio
+    (4, "\n".join("• bullet line item" for _ in range(19))
+        + "\nthe be of and that have words more here today"),  # bullets 19/20
+    (5, ("a sentence trailing off... \n" * 9)
+        + "the be of and have words " * 10),          # ellipsis lines
+    (6, "12345 67890 " * 30 + "the be of and"),       # alpha frac
+    (7, ("zz " * 60).strip()),                        # no stopwords
+    (8, ""),                                          # empty
+    (9, GOOD_PAGE + " And so on… with a bit more."),  # mid-line … ok
+]
+
+
+def test_gopher_stats_brute_force(spark):
+    docs = spark.createDataFrame(GOPHER_ROWS,
+                                 "doc_id long, text string")
+    exp = _gopher_brute(GOPHER_ROWS)
+    got = {r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                         r["hash_ratio"], r["ellipsis_ratio"],
+                         r["bullet_line_frac"],
+                         r["ellipsis_line_frac"],
+                         r["alpha_word_frac"], r["stop_hits"],
+                         r["keep"])
+           for r in textstats.gopher_quality_stats(docs).collect()}
+    assert got == exp
+    assert got[1][-1] == 1 and got[9][-1] == 1
+    assert all(got[i][-1] == 0 for i in (2, 3, 4, 5, 6, 7, 8))
+
+
+def test_gopher_filter_semi_join(spark):
+    docs = spark.createDataFrame(GOPHER_ROWS,
+                                 "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in textstats.gopher_filter(docs).collect())
+    assert kept == [1, 9]
+
+
+def test_gopher_stats_map_side_plan(spark):
+    docs = spark.createDataFrame(GOPHER_ROWS,
+                                 "doc_id long, text string")
+    plan = textstats.gopher_quality_stats(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
