@@ -789,10 +789,13 @@ C4_MIN_SENTENCES = 3
 
 def c4_clean(docs: DataFrame,
              min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
-             min_sentences: int = C4_MIN_SENTENCES) -> DataFrame:
-    """(doc_id, n_lines, n_kept, n_sent, text_clean) for the pages
+             min_sentences: int = C4_MIN_SENTENCES,
+             id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """(*id_cols, n_lines, n_kept, n_sent, text_clean) for the pages
     that SURVIVE the C4 page rules; ``text_clean`` is the kept lines
-    rejoined with newlines.
+    rejoined with newlines.  ``id_cols`` lets streaming ingest carry
+    (url, warc_ts) instead of doc_id — every rule is stateless, so
+    the operator runs unchanged on a streaming DataFrame.
 
     Line kept iff (trimmed): ends in ``. ! ? "``, has >=
     ``min_words_per_line`` whitespace words, and doesn't contain the
@@ -821,7 +824,7 @@ def c4_clean(docs: DataFrame,
                & ~F.lower("text").contains("lorem ipsum")
                & (F.col("_nsent") >= min_sentences))
     return (out.where(page_ok)
-            .select("doc_id",
+            .select(*id_cols,
                     F.size("_lines").cast("long").alias("n_lines"),
                     F.size("_kept").cast("long").alias("n_kept"),
                     F.col("_nsent").cast("long").alias("n_sent"),

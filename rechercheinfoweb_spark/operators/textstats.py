@@ -369,6 +369,59 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
 ELLIPSIS_RE = r"(\.\.\.|…)"
 
 
+def _gopher_feature_cols(col: str = "text") -> dict[str, Column]:
+    """The Gopher A1 features as named column expressions (floats
+    pre-rounded to 6 — the gate thresholds compare the ROUNDED
+    values, so stats, filter, and oracle agree bit-for-bit)."""
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
+    zero = F.lit(0).cast("long")
+    mean_wl = F.round(
+        F.aggregate(words, zero,
+                    lambda a, w: a + F.length(w).cast("long")) / wdiv, 6)
+    n_hash = (F.length(col)
+              - F.length(F.replace(col, F.lit("#"), F.lit(""))))
+    n_ell = F.size(F.regexp_extract_all(col, F.lit(ELLIPSIS_RE), 0))
+    lines = _lines_col(col)
+    ldiv = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^[•\-\*]")))
+    ell_end = F.size(F.filter(
+        lines, lambda l: l.rlike(ELLIPSIS_RE + "$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    toks = lower_tokens_col(col)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(toks, s))).cast("long")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "hash_ratio": F.round(n_hash / wdiv, 6),
+        "ellipsis_ratio": F.round(n_ell / wdiv, 6),
+        "bullet_line_frac": F.round(bullet / ldiv, 6),
+        "ellipsis_line_frac": F.round(ell_end / ldiv, 6),
+        "alpha_word_frac": F.round(alpha / wdiv, 6),
+        "stop_hits": stop_hits,
+    }
+
+
+def _gopher_keep_expr(f) -> Column:
+    """The composite gate over a feature accessor (name -> Column) —
+    shared by the stats table and the streamable predicate."""
+    return ((f("n_words") >= GOPHER_MIN_WORDS)
+            & (f("n_words") <= GOPHER_MAX_WORDS)
+            & (f("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (f("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (f("hash_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+            & (f("ellipsis_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+            & (f("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+            & (f("ellipsis_line_frac")
+               <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+            & (f("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+            & (f("stop_hits") >= GOPHER_MIN_STOP_HITS))
+
+
 def gopher_quality_stats(docs: DataFrame) -> DataFrame:
     """Per-doc Gopher A1 quality features + the composite ``keep``
     gate (1 = survives every rule):
@@ -384,56 +437,21 @@ def gopher_quality_stats(docs: DataFrame) -> DataFrame:
 
     Floats rounded to 6 (oracle convention); zero-word / zero-line
     docs get 0 features and fail the gate on the word-count rule."""
-    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
-    n_words = F.size(words).cast("long")
-    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
-    zero = F.lit(0).cast("long")
-    mean_wl = F.round(
-        F.aggregate(words, zero,
-                    lambda a, w: a + F.length(w).cast("long")) / wdiv, 6)
-    n_hash = (F.length("text")
-              - F.length(F.replace("text", F.lit("#"), F.lit(""))))
-    n_ell = F.size(F.regexp_extract_all("text", F.lit(ELLIPSIS_RE), 0))
-    lines = _lines_col()
-    n_lines = F.size(lines)
-    ldiv = F.greatest(n_lines, F.lit(1)).cast("double")
-    bullet = F.size(F.filter(
-        lines, lambda l: l.rlike(r"^[•\-\*]")))
-    ell_end = F.size(F.filter(
-        lines, lambda l: l.rlike(ELLIPSIS_RE + "$")))
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    toks = lower_tokens_col()
-    stop_hits = F.size(F.filter(
-        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        lambda s: F.array_contains(toks, s))).cast("long")
-    out = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        F.round(n_hash / wdiv, 6).alias("hash_ratio"),
-        F.round(n_ell / wdiv, 6).alias("ellipsis_ratio"),
-        F.round(bullet / ldiv, 6).alias("bullet_line_frac"),
-        F.round(ell_end / ldiv, 6).alias("ellipsis_line_frac"),
-        F.round(alpha / wdiv, 6).alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"))
-    keep = ((F.col("n_words") >= GOPHER_MIN_WORDS)
-            & (F.col("n_words") <= GOPHER_MAX_WORDS)
-            & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
-            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
-            & (F.col("hash_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-            & (F.col("ellipsis_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-            & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
-            & (F.col("ellipsis_line_frac")
-               <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
-            & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
-            & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS))
-    return out.withColumn("keep", keep.cast("int"))
+    feats = _gopher_feature_cols()
+    out = docs.select("doc_id",
+                      *[c.alias(n) for n, c in feats.items()])
+    return out.withColumn("keep", _gopher_keep_expr(F.col).cast("int"))
+
+
+def gopher_keep_col(col: str = "text") -> Column:
+    """The Gopher gate as ONE boolean column expression — usable on
+    any (batch or streaming) DataFrame with a text column; pinned
+    equal to ``gopher_quality_stats``'s keep in tests."""
+    feats = _gopher_feature_cols(col)
+    return _gopher_keep_expr(lambda n: feats[n])
 
 
 def gopher_filter(docs: DataFrame) -> DataFrame:
-    """Docs surviving every Gopher A1 quality rule — semi-join on
-    doc_id keys only (the wide text column is never shuffled; the
-    stats projection is map-side so this is one scan + one
-    broadcast-free key join back onto the same scan)."""
-    kept = gopher_quality_stats(docs).where(F.col("keep") == 1)
-    return docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    """Docs surviving every Gopher A1 quality rule — a pure map-side
+    predicate (no join, no shuffle; works on streaming input too)."""
+    return docs.where(gopher_keep_col())

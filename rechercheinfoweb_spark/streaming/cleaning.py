@@ -32,13 +32,25 @@ from ..operators.textstats import tokens_col
 
 def streaming_clean(pages: DataFrame, lang: str = "en",
                     min_quality: float = 0.0,
-                    watermark: str = "1 hour") -> DataFrame:
+                    watermark: str = "1 hour",
+                    c4_rules: bool = False,
+                    gopher_rules: bool = False) -> DataFrame:
     """Admit-or-drop gate over a streaming web_pages DataFrame.
 
     Input columns: (url, warc_ts, text, ...) — the input_hint shape.
     Output: (url, warc_ts, text, lang_pred, quality) for pages that
     pass the language gate, the quality threshold, and first-seen
     exact dedup within the watermark horizon.
+
+    ``c4_rules`` first REWRITES each page through the C4 line rules
+    and drops pages failing the C4 page rules
+    (``pipeline.c4_clean`` — stateless, so it streams as-is; the
+    admitted page's text is the cleaned text, as in the C4
+    pipeline).  ``gopher_rules`` then drops pages failing the Gopher
+    A1 quality gate (``textstats.gopher_keep_col`` — one boolean
+    map-side expression).  Both default off to preserve the
+    original gate; order is rules-then-dedup, the production
+    (C4/MassiveText) sequence.
 
     Duplicate-group tie-break: the streaming path keeps the first
     PROCESSED member (``dropDuplicatesWithinWatermark`` semantics —
@@ -50,6 +62,14 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     to streaming dedup (no total order exists over an unbounded
     stream).  The streaming==batch test compares at content level
     for exactly this reason."""
+    if c4_rules:
+        from ..operators.pipeline import c4_clean
+        pages = (c4_clean(pages, id_cols=("url", "warc_ts"))
+                 .withColumnRenamed("text_clean", "text")
+                 .drop("n_lines", "n_kept", "n_sent"))
+    if gopher_rules:
+        from ..operators.textstats import gopher_keep_col
+        pages = pages.where(gopher_keep_col())
     toks = tokens_col()
     stats = pages.select(
         "url", "warc_ts", "text",

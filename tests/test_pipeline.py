@@ -828,3 +828,17 @@ def test_gopher_stats_map_side_plan(spark):
     plan = textstats.gopher_quality_stats(docs)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_keep_col_equals_stats_gate(spark):
+    """The one-expression streamable predicate == the stats table's
+    keep column (shared feature/threshold exprs must not drift)."""
+    docs = spark.createDataFrame(GOPHER_ROWS + C4_ROWS,
+                                 "doc_id long, text string")
+    via_stats = sorted(
+        r["doc_id"] for r in textstats.gopher_quality_stats(docs)
+        .where("keep = 1").collect())
+    via_pred = sorted(
+        r["doc_id"]
+        for r in docs.where(textstats.gopher_keep_col()).collect())
+    assert via_stats == via_pred

@@ -279,3 +279,54 @@ def test_streaming_clean_gate(spark, tmp_path_factory):
     orig_urls = {r["url"] for r in pages.collect()}
     for r in got:
         assert r["url"] in dup_urls | orig_urls
+
+
+def test_streaming_clean_with_c4_and_gopher_rules(
+        spark, tmp_path_factory):
+    """The C4 rewrite + Gopher gate compose into the streaming
+    ingest path (stateless stages stream as-is) and match the batch
+    twin at content level."""
+    from pyspark.sql import functions as F
+
+    from rechercheinfoweb_spark.operators import textstats
+    from rechercheinfoweb_spark.operators.pipeline import c4_clean
+    from rechercheinfoweb_spark.streaming.cleaning import (
+        streaming_clean,
+    )
+
+    src = str(tmp_path_factory.mktemp("c4g_src"))
+    pages = synthetic_web_pages(spark, 120).drop("html")
+    # synthetic text is single-line/unpunctuated: derive sentence
+    # structure + stopword mass so the gates have survivors AND
+    # casualties (same trick as the pp_c4_clean contract query)
+    t = F.replace(F.col("text"), F.lit(" search "), F.lit(".\n"))
+    t = F.replace(t, F.lit(" query "), F.lit(".\n"))
+    t = F.replace(t, F.lit(" WAND "), F.lit("…\n"))
+    t = F.concat(t, F.lit(
+        ". \nIt would have been good to be with all of that too."))
+    pages = pages.withColumn("text", t)
+    half = pages.randomSplit([0.5, 0.5], seed=7)
+    half[0].write.parquet(f"{src}/b0")
+    half[1].write.parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(pages.schema).parquet(f"{src}/*/")
+    out = streaming_clean(stream, lang="en", min_quality=0.0,
+                          c4_rules=True, gopher_rules=True)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("c4g_cleaned")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from c4g_cleaned").collect()
+
+    want = streaming_clean(pages, lang="en", min_quality=0.0,
+                           c4_rules=True, gopher_rules=True).collect()
+    key = lambda r: (r["text"], r["lang_pred"], r["quality"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert 0 < len(got) < pages.count()  # survivors AND casualties
+    # the admitted text IS the C4-rewritten text: independently
+    # recompute c4_clean -> gopher over the batch input
+    manual = (c4_clean(pages, id_cols=("url",))
+              .withColumnRenamed("text_clean", "text")
+              .where(textstats.gopher_keep_col()))
+    manual_texts = {r["text"] for r in manual.collect()}
+    assert {r["text"] for r in got} <= manual_texts
