@@ -569,19 +569,35 @@ def dsir_ratio_table(raw: DataFrame, target: DataFrame,
     model above)."""
     tc = _dsir_bucket_counts(target, n_buckets)
     rc = _dsir_bucket_counts(raw, n_buckets)
-    tot_t = int(tc.agg(F.sum("c")).collect()[0][0] or 0)
-    tot_r = int(rc.agg(F.sum("c")).collect()[0][0] or 0)
+    return _dsir_ratio_from_counts(tc, rc, n_buckets)
+
+
+def _dsir_ratio_from_counts(tc: DataFrame, rc: DataFrame,
+                            n_buckets: int) -> DataFrame:
+    """ratio table from (bucket, c) target/raw count tables —
+    factored so :func:`dsir_weights` can derive ``rc`` from its own
+    per-doc aggregation (single corpus scan) while
+    :func:`dsir_ratio_table` stays the standalone two-table API.
+
+    The two totals stay IN-PLAN (1×1 aggs broadcast-cross-joined,
+    the PageRank dangling-mass pattern) rather than driver collects:
+    an eager collect would run ``rc``'s lineage as its own job and
+    defeat the single-scan ReusedExchange in dsir_weights."""
+    tots = (tc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("tt"))
+            .crossJoin(rc.agg(F.coalesce(F.sum("c"), F.lit(0))
+                              .alias("tr"))))
     joint = (tc.withColumnRenamed("c", "ct")
              .join(rc.withColumnRenamed("c", "cr"), "bucket",
                    "full_outer")
              .select("bucket",
                      F.coalesce("ct", F.lit(0)).alias("ct"),
                      F.coalesce("cr", F.lit(0)).alias("cr")))
-    return joint.select(
-        "bucket",
-        (F.log((F.col("ct") + 1) / F.lit(float(tot_t + n_buckets)))
-         - F.log((F.col("cr") + 1)
-                 / F.lit(float(tot_r + n_buckets)))).alias("llr"))
+    b = F.lit(n_buckets)
+    return (joint.crossJoin(F.broadcast(tots))
+            .select("bucket",
+                    (F.log((F.col("ct") + 1) / (F.col("tt") + b))
+                     - F.log((F.col("cr") + 1) / (F.col("tr") + b)))
+                    .alias("llr")))
 
 
 def dsir_weights(raw: DataFrame, target: DataFrame,
@@ -592,16 +608,29 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     6 decimals (repo float-oracle convention; ln/summation noise
     sits ~1e-11).
 
-    Scale shape: one corpus scan → per-(doc, bucket) partial-agg
-    counts → broadcast join against the B-row ratio table → one
+    Scale shape: ONE corpus text scan.  The raw-side bucket counts
+    are re-aggregated from the same per-(doc, bucket) shuffle the
+    scorer needs (identical subplan → Spark's ReusedExchange serves
+    both the ratio table and the scoring join from one shuffle
+    write, plan-tested), instead of a second pass over the corpus —
+    at 100 TB the text scan dominates, so halving scans halves the
+    job.  Then: broadcast join against the B-row ratio table → one
     doc-keyed agg.  Nothing wide carries text."""
-    ratio = dsir_ratio_table(raw, target, n_buckets)
+    # explicit no-op not-null filters: the scoring join pushes
+    # IsNotNull(bucket)/IsNotNull(doc_id) into ITS copy of the
+    # aggregation; without the same filters on the rc branch the two
+    # subplans don't canonicalize equal and ReuseExchange can't fire
     per = (_dsir_feature_rows(raw, n_buckets)
-           .groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-           .join(F.broadcast(ratio), "bucket")
-           .groupBy("doc_id")
-           .agg(F.sum(F.col("n") * F.col("llr")).alias("s")))
-    return (raw.select("doc_id").join(per, "doc_id", "left")
+           .where(F.col("doc_id").isNotNull()
+                  & F.col("bucket").isNotNull())
+           .groupBy("doc_id", "bucket").agg(F.count("*").alias("n")))
+    rc = per.groupBy("bucket").agg(F.sum("n").alias("c"))
+    tc = _dsir_bucket_counts(target, n_buckets)
+    ratio = _dsir_ratio_from_counts(tc, rc, n_buckets)
+    s = (per.join(F.broadcast(ratio), "bucket")
+         .groupBy("doc_id")
+         .agg(F.sum(F.col("n") * F.col("llr")).alias("s")))
+    return (raw.select("doc_id").join(s, "doc_id", "left")
             .select("doc_id",
                     F.round(F.coalesce("s", F.lit(0.0)), 6)
                     .alias("lw")))

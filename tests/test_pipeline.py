@@ -842,3 +842,29 @@ def test_gopher_keep_col_equals_stats_gate(spark):
         r["doc_id"]
         for r in docs.where(textstats.gopher_keep_col()).collect())
     assert via_stats == via_pred
+
+
+def test_dsir_weights_single_corpus_scan_plan(spark):
+    """dsir_weights must serve the ratio table's raw-side counts
+    from the SAME shuffle as the scoring join (ReusedExchange), so
+    the corpus text is scanned once — checked with AQE off (the
+    static planner's ReuseExchange; AQE applies the same
+    canonicalized-stage reuse at runtime).  A plain parquet source
+    (no cache/limit wrappers) so subplan canonicalization is
+    exercised on the production read path."""
+    import re
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        target = docs.where("doc_id % 11 = 0")
+        plan = (pipeline.dsir_weights(docs, target, 256)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("ReusedExchange") >= 3
+    # one text-bearing scan of raw + one of target — never more
+    scans = len(re.findall(
+        r"ReadSchema: struct<doc_id:bigint,text:string>", plan))
+    assert scans == 2
