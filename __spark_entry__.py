@@ -633,6 +633,24 @@ def _q_lm_filter(spark, sf_dir):
                                          LM_KEEP_FRAC, LM_MIN_COUNT)
 
 
+BPE_MERGES = 30
+
+
+def _q_bpe_counts(spark, sf_dir):
+    """BPE token counts (Sennrich et al. 2016): merges trained on
+    the target slice's Heaps-bounded word table (one corpus scan +
+    O(vocab) merge rounds), then per-doc piece counts via an
+    Arrow-batched encoder with per-batch word caching.  Iterative
+    training is not SQL-expressible — rows-only contract; the merge
+    list and counts are pinned against a pure-Python twin in
+    tests/test_bpe.py."""
+    from rechercheinfoweb_spark.operators import bpe
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    merges = bpe.train_bpe(target, n_merges=BPE_MERGES, min_count=2)
+    return bpe.bpe_piece_counts(docs, merges)
+
+
 def _q_gopher(spark, sf_dir):
     """Gopher A1 document-quality rules (Rae et al. 2021): per-doc
     features (word counts, symbol/bullet/ellipsis ratios, alpha-word
@@ -1731,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_lm_filter": _q_lm_filter,
         "pp_c4_clean": _q_c4_clean,
         "ts_gopher": _q_gopher,
+        "ts_bpe_counts": _q_bpe_counts,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
         "ann_cosine_topk": _q_ann_cosine,

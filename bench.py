@@ -530,6 +530,17 @@ def main() -> None:
     with timed("gopher_filter"):
         from rechercheinfoweb_spark.operators import textstats as _ts
         extra["gopher_survivors"] = _ts.gopher_filter(docs).count()
+    # BPE: 40 merge rounds on the word table (one corpus scan up
+    # front, O(vocab) per round), then Arrow-batched piece counts
+    # over the FULL table
+    with timed("bpe_train_40"):
+        from rechercheinfoweb_spark.operators import bpe as _bpe
+        _bpe_merges = _bpe.train_bpe(docs, n_merges=40, min_count=2)
+        extra["bpe_merges"] = len(_bpe_merges)
+    with timed("bpe_piece_counts"):
+        extra["bpe_pieces"] = int(
+            _bpe.bpe_piece_counts(docs, _bpe_merges)
+            .agg(F.sum("n_pieces")).collect()[0][0] or 0)
     # CCNet LM gate over the FULL docs table: pruned backoff-bigram
     # model (two target-slice count aggs, all tables broadcast),
     # score + distributed bottom-k — no corpus shuffle on terms
