@@ -651,6 +651,92 @@ def _q_bpe_counts(spark, sf_dir):
     return bpe.bpe_piece_counts(docs, merges)
 
 
+def _q_gopher_rep(spark, sf_dir):
+    """Gopher A1.1 full n-gram repetition table: top-2/3/4-gram char
+    fractions (argmax by count, lexicographic tie-break) + overlap-
+    aware dup-5..10-gram char coverage + composite rep_keep gate —
+    per-doc array folds, zero shuffles."""
+    return textstats.gopher_repetition_stats(_docs(spark, sf_dir))
+
+
+def _sql_gopher_rep() -> str:
+    """DuckDB twin: relational recomputation (positional gram
+    tables, per-doc argmax window, EXISTS coverage join) of the same
+    features and thresholds."""
+    tops = textstats.GOPHER_TOP_NGRAM_MAX
+    dups = textstats.GOPHER_DUP_NGRAM_MAX
+    ctes = [f"""
+        toksd AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split_regex(
+                     text, '{SQL_TOKEN_SPLIT}'), t -> t <> ''),
+                     t -> lower(t)) AS toks
+          FROM documents),
+        tchars AS (
+          SELECT doc_id,
+                 greatest(coalesce(list_sum(list_transform(
+                     toks, t -> length(t))), 0), 1)::DOUBLE AS tot
+          FROM toksd),
+        tpos AS (
+          SELECT doc_id, r.i AS t, toks[i] AS tok
+          FROM toksd, unnest(range(1, len(toks) + 1)) AS r(i))"""]
+    for n in list(tops) + list(dups):
+        ctes.append(f"""
+        g{n} AS (
+          SELECT doc_id, r.i AS i,
+                 array_to_string(toks[i:i + {n - 1}], ' ') AS gram
+          FROM toksd, unnest(range(1, len(toks) - {n} + 2)) AS r(i)
+          WHERE len(toks) >= {n}),
+        t{n} AS (SELECT doc_id, gram, count(*) AS c
+                 FROM g{n} GROUP BY doc_id, gram)""")
+    for n in tops:
+        ctes.append(f"""
+        top{n} AS (
+          SELECT doc_id,
+                 c * (length(gram) - {n - 1}) AS chars
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+                FROM t{n})
+          WHERE rn = 1)""")
+    for n in dups:
+        ctes.append(f"""
+        d{n} AS (SELECT doc_id, gram FROM t{n} WHERE c >= 2),
+        cov{n} AS (
+          SELECT p.doc_id, sum(length(p.tok)) AS chars
+          FROM tpos p
+          WHERE EXISTS (
+            SELECT 1 FROM g{n} g
+            JOIN d{n} d ON d.doc_id = g.doc_id AND d.gram = g.gram
+            WHERE g.doc_id = p.doc_id
+              AND g.i BETWEEN greatest(1, p.t - {n - 1}) AND p.t)
+          GROUP BY p.doc_id)""")
+    sel, conds = [], []
+    for n, mx in tops.items():
+        sel.append(f"round(coalesce(top{n}.chars, 0) / tc.tot, 6)"
+                   f" AS top{n}gram_char_frac")
+        conds.append(
+            f"round(coalesce(top{n}.chars, 0) / tc.tot, 6) <= {mx}")
+    for n, mx in dups.items():
+        sel.append(f"round(coalesce(cov{n}.chars, 0) / tc.tot, 6)"
+                   f" AS dup{n}gram_char_frac")
+        conds.append(
+            f"round(coalesce(cov{n}.chars, 0) / tc.tot, 6) <= {mx}")
+    joins = "\n            ".join(
+        [f"LEFT JOIN top{n} ON top{n}.doc_id = tc.doc_id"
+         for n in tops]
+        + [f"LEFT JOIN cov{n} ON cov{n}.doc_id = tc.doc_id"
+           for n in dups])
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT tc.doc_id,
+               {', '.join(sel)},
+               CASE WHEN {' AND '.join(conds)}
+                    THEN 1 ELSE 0 END AS rep_keep
+        FROM tchars tc
+            {joins}
+        ORDER BY tc.doc_id"""
+
+
 def _q_gopher(spark, sf_dir):
     """Gopher A1 document-quality rules (Rae et al. 2021): per-doc
     features (word counts, symbol/bullet/ellipsis ratios, alpha-word
@@ -1749,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_lm_filter": _q_lm_filter,
         "pp_c4_clean": _q_c4_clean,
         "ts_gopher": _q_gopher,
+        "ts_gopher_rep": _q_gopher_rep,
         "ts_bpe_counts": _q_bpe_counts,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
@@ -2372,6 +2459,7 @@ def oracle_sql() -> dict[str, str]:
         # Gumbel key from md5('dsir:'+id) — deterministic, so the
         # top-k sample is engine-reproducible; round-6 BEFORE the
         # rank, doc_id tie-break (pp_quality_quantile convention)
+        "ts_gopher_rep": _sql_gopher_rep(),
         # Gopher A1: identical word/line splits, regexes, thresholds
         "ts_gopher": f"""
             WITH g AS (

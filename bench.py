@@ -530,6 +530,11 @@ def main() -> None:
     with timed("gopher_filter"):
         from rechercheinfoweb_spark.operators import textstats as _ts
         extra["gopher_survivors"] = _ts.gopher_filter(docs).count()
+    # Gopher A1.1 full n-gram repetition table: per-doc folds, one
+    # scan, zero shuffles (the 6 dup-n coverage features dominate)
+    with timed("gopher_repetition"):
+        extra["gopher_rep_survivors"] = \
+            _ts.gopher_repetition_filter(docs).count()
     # BPE: 40 merge rounds on the word table (one corpus scan up
     # front, O(vocab) per round), then Arrow-batched piece counts
     # over the FULL table

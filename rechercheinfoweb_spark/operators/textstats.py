@@ -14,6 +14,7 @@ oracle (tests/test_query_vector.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # SQL-portable tokenizer: identical semantics in Spark and DuckDB.
@@ -455,3 +456,217 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     """Docs surviving every Gopher A1 quality rule — a pure map-side
     predicate (no join, no shuffle; works on streaming input too)."""
     return docs.where(gopher_keep_col())
+
+
+# ---- Gopher A1.1 full repetition table -------------------------------
+# :func:`repetition_stats` above carries the line-level features; this
+# completes Rae et al. 2021 Table A1's repetition half: top n-gram
+# character fractions (n = 2, 3, 4) and duplicate n-gram character
+# fractions (n = 5..10), with the paper's thresholds as the composite
+# ``rep_keep`` gate.  All features are per-doc array folds — one
+# corpus scan, zero shuffles, no Python.
+
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13,
+                        8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _tok_chars_col(toks: Column) -> Column:
+    """Total characters across the token array (the denominator the
+    n-gram fractions share — whitespace/punctuation never counted,
+    so numerator and denominator measure the same alphabet)."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(toks, zero,
+                       lambda a, t: a + F.length(t).cast("long"))
+
+
+def _top_gram_chars_col(grams: Column, n: int) -> Column:
+    """Characters covered by the MOST FREQUENT n-gram: count(top) ×
+    token-chars(top).  Argmax by occurrence count with lexicographic
+    tie-break, via one sorted-run fold (no explode/shuffle); the
+    space-joined gram string carries n−1 separators, subtracted."""
+    zero = F.lit(0).cast("long")
+
+    def better(run, prev, acc):
+        return (run > acc["bestr"]) | (
+            (run == acc["bestr"])
+            & (acc["bestg"].isNull() | (prev < acc["bestg"])))
+
+    def close(acc):
+        upd = acc["prev"].isNotNull() & better(acc["run"], acc["prev"],
+                                               acc)
+        bestr = F.when(upd, acc["run"]).otherwise(acc["bestr"])
+        bestg = F.when(upd, acc["prev"]).otherwise(acc["bestg"])
+        return F.when(
+            bestg.isNotNull(),
+            bestr * (F.length(bestg).cast("long") - F.lit(n - 1))
+        ).otherwise(zero)
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closing = acc["prev"].isNotNull() & ~same
+        upd = closing & better(acc["run"], acc["prev"], acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+             .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(upd, acc["run"]).otherwise(acc["bestr"])
+             .alias("bestr"),
+            F.when(upd, acc["prev"]).otherwise(acc["bestg"])
+             .alias("bestg"))
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"), zero.alias("bestr"),
+        F.lit(None).cast("string").alias("bestg"))
+    return F.aggregate(F.array_sort(grams), init, merge, close)
+
+
+def _dup_set_col(grams: Column) -> Column:
+    """Distinct grams occurring >= 2 times, as an array (one sorted
+    fold: append a gram the moment its run reaches 2)."""
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(same & (run == 2),
+                   F.concat(acc["dups"], F.array(x)))
+             .otherwise(acc["dups"]).alias("dups"))
+
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.array().cast("array<string>").alias("dups"))
+    return F.aggregate(F.array_sort(grams), init, merge,
+                       lambda acc: acc["dups"])
+
+
+def _dup_gram_cov_chars_col(toks: Column, grams: Column,
+                            n: int) -> Column:
+    """Characters of tokens covered by ANY duplicated n-gram
+    occurrence — overlap-aware (each token counted once no matter
+    how many duplicated grams span it; the Table-A1 footnote).
+    Token t is covered iff some gram starting in
+    [t−n+1, t] ∩ [1, G] is in the doc's duplicate set.
+
+    Kept as the pure-Catalyst reference; O(G·|dups|) membership
+    scans make it quadratic-ish on repetitive docs, so
+    :func:`gopher_repetition_stats` uses the exact Arrow kernel
+    (:func:`_dup_cov_kernel`) instead — this column remains for the
+    equivalence test."""
+    zero = F.lit(0).cast("long")
+    dups = _dup_set_col(grams)
+    g_cnt = F.size(grams)
+    cov = F.aggregate(
+        F.sequence(F.lit(1), F.size(toks)), zero,
+        lambda acc, t: acc + F.when(
+            F.exists(
+                F.sequence(F.greatest(F.lit(1), t - F.lit(n - 1)),
+                           F.least(t, g_cnt)),
+                lambda i: F.array_contains(dups,
+                                           F.element_at(grams, i))),
+            F.length(F.element_at(toks, t)).cast("long")
+        ).otherwise(zero))
+    return F.when((g_cnt >= 1) & (F.size(dups) >= 1),
+                  cov).otherwise(zero)
+
+
+def _dup_cov_kernel(ns: tuple[int, ...]):
+    """pandas UDF: token array → array of dup-n-gram coverage char
+    counts, one per n in ``ns`` — EXACT (np.unique over sliding
+    token-id windows, no hashing) and vectorized: per doc per n the
+    work is one (G, n) unique + two prefix-sum passes, vs the
+    Catalyst fold's O(G·|dups|·n) membership scans.  Returns raw
+    LONG counts; the fraction division + rounding stay JVM-side so
+    oracle rounding semantics are untouched."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def kern(tok_arrays: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        def per(toks) -> list[int]:
+            toks = list(toks)
+            lens = np.array([len(t) for t in toks], dtype=np.int64)
+            _u, ids = np.unique(toks, return_inverse=True) \
+                if toks else (None, np.zeros(0, dtype=np.int64))
+            out = []
+            for n in ns:
+                G = len(toks) - n + 1
+                if G < 2:
+                    out.append(0)
+                    continue
+                wins = sliding_window_view(ids, n)
+                _ug, inv, cnt = np.unique(
+                    wins, axis=0, return_inverse=True,
+                    return_counts=True)
+                starts = (cnt[inv] >= 2).astype(np.int64)
+                if not starts.any():
+                    out.append(0)
+                    continue
+                # token t covered iff a dup start lies in
+                # [t-n+1, t] ∩ [0, G-1] — windowed any() via one
+                # prefix sum over the start flags
+                ps = np.concatenate(([0], np.cumsum(starts)))
+                t = np.arange(len(toks))
+                lo = np.maximum(t - n + 1, 0)
+                hi = np.minimum(t, G - 1)
+                covered = (hi >= lo) & (ps[hi + 1] - ps[lo] > 0)
+                out.append(int(lens[covered].sum()))
+            return out
+
+        return tok_arrays.map(per)
+
+    return kern
+
+
+def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher A1.1 n-gram repetition features + composite
+    ``rep_keep`` gate (1 = under every threshold):
+
+      * ``top{2,3,4}gram_char_frac`` — chars of the most frequent
+        n-gram (count × gram chars) over total token chars
+      * ``dup{5..10}gram_char_frac`` — chars of tokens covered by
+        any duplicated n-gram, overlap-aware
+
+    Complements :func:`repetition_stats` (line-level features).
+    One map-side projection (top-n = JVM sorted-run folds, dup-n =
+    one exact Arrow kernel call for all six n — pinned equal to the
+    pure-Catalyst reference column in tests); fractions rounded to
+    6 JVM-side."""
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    toks = F.col("_toks")
+    tot = _tok_chars_col(toks)
+    den = F.greatest(tot, F.lit(1)).cast("double")
+    ns = tuple(GOPHER_DUP_NGRAM_MAX)
+    kern = _dup_cov_kernel(ns)
+    toked = toked.withColumn("_cov", kern("_toks"))
+    cols, keeps = [], []
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        grams = ngrams_of_tokens(toks, n)
+        c = F.round(_top_gram_chars_col(grams, n) / den, 6)
+        name = f"top{n}gram_char_frac"
+        cols.append(c.alias(name))
+        keeps.append((name, "<=", mx))
+    for idx, (n, mx) in enumerate(GOPHER_DUP_NGRAM_MAX.items()):
+        c = F.round(
+            F.element_at("_cov", idx + 1).cast("long") / den, 6)
+        name = f"dup{n}gram_char_frac"
+        cols.append(c.alias(name))
+        keeps.append((name, "<=", mx))
+    out = toked.select("doc_id", *cols)
+    keep = None
+    for name, _op, mx in keeps:
+        cond = F.col(name) <= mx
+        keep = cond if keep is None else (keep & cond)
+    return out.withColumn("rep_keep", keep.cast("int"))
+
+
+def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
+    """Docs under every A1.1 repetition threshold — map-side
+    semi-filter via the same expressions (no join, streams too)."""
+    stats = gopher_repetition_stats(docs)
+    kept = stats.where(F.col("rep_keep") == 1).select("doc_id")
+    return docs.join(kept, "doc_id", "left_semi")

@@ -868,3 +868,117 @@ def test_dsir_weights_single_corpus_scan_plan(spark):
     scans = len(re.findall(
         r"ReadSchema: struct<doc_id:bigint,text:string>", plan))
     assert scans == 2
+
+
+# ---- Gopher A1.1 n-gram repetition table -----------------------------
+
+
+def _rep_brute(rows):
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w.lower() for w in re.split(r"[^a-zA-Z0-9]+", t) if w]
+
+    out = {}
+    for did, t in rows:
+        ts = toks(t)
+        tot = max(sum(map(len, ts)), 1)
+        feats = []
+        for n in (2, 3, 4):
+            grams = [" ".join(ts[i:i + n])
+                     for i in range(len(ts) - n + 1)]
+            if grams:
+                cnt = Counter(grams)
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                chars = best[1] * (len(best[0]) - (n - 1))
+            else:
+                chars = 0
+            feats.append(round(chars / tot, 6))
+        for n in (5, 6, 7, 8, 9, 10):
+            grams = [" ".join(ts[i:i + n])
+                     for i in range(len(ts) - n + 1)]
+            cnt = Counter(grams)
+            dup = {g for g, c in cnt.items() if c >= 2}
+            cov = 0
+            for ti in range(len(ts)):
+                starts = range(max(0, ti - n + 1),
+                               min(ti, len(grams) - 1) + 1)
+                if any(grams[i] in dup for i in starts):
+                    cov += len(ts[ti])
+            feats.append(round(cov / tot, 6))
+        thr = list(textstats.GOPHER_TOP_NGRAM_MAX.values()) \
+            + list(textstats.GOPHER_DUP_NGRAM_MAX.values())
+        keep = int(all(f <= m for f, m in zip(feats, thr)))
+        out[did] = tuple(feats) + (keep,)
+    return out
+
+
+REP_ROWS = [
+    (1, "the quick brown fox jumps over one lazy dog near a river "
+        "bank while birds sing songs above tall green trees today "
+        "and children play games beside old wooden fences watching "
+        "clouds drift slowly across bright blue skies until evening "
+        "brings cool winds that carry distant church bells ringing "
+        "softly through quiet valley towns where lanterns glow"),
+    (2, "spam eggs spam eggs spam eggs spam eggs spam eggs"),  # top-2
+    (3, ("one two three four five six seven eight nine ten " * 3)
+        .strip()),                                   # dup 5..10-grams
+    (4, "alpha beta gamma"),                         # shorter than 5
+    (5, ""),                                         # empty
+    (6, "x y x y z " * 2 + "unique tail words here now"),
+]
+
+
+def test_gopher_repetition_brute_force(spark):
+    docs = spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+    exp = _rep_brute(REP_ROWS)
+    res = textstats.gopher_repetition_stats(docs).collect()
+    names = ([f"top{n}gram_char_frac" for n in (2, 3, 4)]
+             + [f"dup{n}gram_char_frac" for n in range(5, 11)]
+             + ["rep_keep"])
+    got = {r["doc_id"]: tuple(r[c] for c in names) for r in res}
+    assert got == exp
+    # semantics: long clean prose passes, loops fail, empty passes;
+    # a 3-word doc FAILS on top-gram fractions (one gram covers most
+    # of its chars — faithful to the formula; in the full pipeline
+    # Gopher's >=50-word rule screens such docs first)
+    assert got[1][-1] == 1 and got[5][-1] == 1
+    assert got[2][-1] == 0 and got[3][-1] == 0 and got[4][-1] == 0
+
+
+def test_gopher_repetition_filter_and_plan(spark):
+    docs = spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  textstats.gopher_repetition_filter(docs).collect())
+    exp = sorted(d for d, v in _rep_brute(REP_ROWS).items()
+                 if v[-1] == 1)
+    assert kept == exp
+    plan = textstats.gopher_repetition_stats(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dup_cov_kernel_equals_catalyst_reference(spark):
+    """The Arrow dup-coverage kernel == the pure-Catalyst fold
+    column for every n, including repetitive/short/empty docs."""
+    from pyspark.sql import functions as F
+
+    from rechercheinfoweb_spark.operators.textstats import (
+        _dup_gram_cov_chars_col, lower_tokens_col, ngrams_of_tokens,
+    )
+    docs = spark.createDataFrame(REP_ROWS + GOPHER_ROWS,
+                                 "doc_id long, text string")
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    toks = F.col("_toks")
+    ns = (5, 6, 7, 8, 9, 10)
+    kern = textstats._dup_cov_kernel(ns)
+    got = {r["doc_id"]: list(r["cov"]) for r in
+           toked.select("doc_id", kern("_toks").alias("cov"))
+           .collect()}
+    ref_cols = [
+        _dup_gram_cov_chars_col(toks, ngrams_of_tokens(toks, n), n)
+        .alias(f"c{n}") for n in ns]
+    want = {r["doc_id"]: [r[f"c{n}"] for n in ns]
+            for r in toked.select("doc_id", *ref_cols).collect()}
+    assert got == want
