@@ -367,6 +367,16 @@ def _q_dup_spans(spark, sf_dir):
                                       n=DUPSPAN_N)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee et al. 2022 'remove all but one'):
+    every later-than-first occurrence of a corpus-duplicated trigram
+    has its covered tokens deleted; clean_text is rebuilt from the
+    survivors with original casing.  The oracle recomputes removal
+    positionally (gram row_number over (doc_id, pos), covered
+    positions via generate_series, ordered string_agg rebuild)."""
+    return dedup.remove_dup_spans(_docs(spark, sf_dir), n=DUPSPAN_N)
+
+
 def _q_lsh_jaccard_verified(spark, sf_dir):
     """Production composition: capped-LSH candidate pairs verified
     with EXACT n-gram Jaccard (map-side array_intersect over the
@@ -631,6 +641,49 @@ def _q_lm_filter(spark, sf_dir):
     docs, target = _lm_model(spark, sf_dir)
     return pipeline.lm_perplexity_filter(docs, target,
                                          LM_KEEP_FRAC, LM_MIN_COUNT)
+
+
+def _q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3):
+    value-based bucket labels from the exact 1/3 and 2/3 percentiles
+    of lm_score — a doc's bucket depends only on its own score, so
+    the assignment is engine- and partitioning-reproducible (Spark
+    percentile == DuckDB quantile_cont, both linear-interpolating
+    the same round-6 doubles)."""
+    docs, target = _lm_model(spark, sf_dir)
+    return pipeline.lm_perplexity_buckets(docs, target,
+                                          min_count=LM_MIN_COUNT)
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip as a relation: documents → WARC
+    files (distributed ``write_warc`` sink, one file per partition)
+    → ``warc_pages`` source (binaryFile scan + Content-Length-framed
+    record walk).  The oracle recomputes the expected relation
+    straight from the documents table, so the parse must reproduce
+    url, capture timestamp, payload byte length, the language
+    extension header, and the exact text bytes (md5) through the
+    container format."""
+    import tempfile
+
+    from rechercheinfoweb_spark.sources import warc as warc_mod
+    from rechercheinfoweb_spark.sources.web_pages import (
+        documents_as_web_pages,
+    )
+    key = _content_key(f"{sf_dir}/documents.parquet")
+    out = os.path.join(tempfile.gettempdir(), f"riw_warc_{key}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        warc_mod.write_warc(
+            documents_as_web_pages(spark, sf_dir).repartition(8), out)
+        open(os.path.join(out, "_done"), "w").close()
+    pages = warc_mod.warc_pages(
+        spark, os.path.join(out, "part-*.warc"))
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_epoch"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "lang")
 
 
 BPE_MERGES = 30
@@ -1819,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "dd_dup_spans": _q_dup_spans,
+        "dd_remove_dup_spans": _q_remove_dup_spans,
         "dd_lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
@@ -1833,7 +1887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_dsir_select": _q_dsir_select,
         "pp_lm_score": _q_lm_score,
         "pp_lm_filter": _q_lm_filter,
+        "pp_lm_buckets": _q_lm_buckets,
         "pp_c4_clean": _q_c4_clean,
+        "src_warc_roundtrip": _q_warc_roundtrip,
         "ts_gopher": _q_gopher,
         "ts_gopher_rep": _q_gopher_rep,
         "ts_bpe_counts": _q_bpe_counts,
@@ -2308,6 +2364,74 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(g.n_tokens, 1), 6)
                        AS dup_span_frac
             FROM grams g LEFT JOIN cov USING (doc_id)""",
+        # ExactSubstr removal: gram first-occurrence exemption via
+        # row_number over (doc_id, pos); covered positions expanded
+        # with generate_series; clean_text rebuilt with an ordered
+        # string_agg over the surviving original-case tokens
+        "dd_remove_dup_spans": f"""
+            WITH toksd AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'),
+                         t -> t <> '') AS otoks
+              FROM documents),
+            lowd AS (
+              SELECT doc_id,
+                     list_transform(otoks, t -> lower(t)) AS toks
+              FROM toksd),
+            gramsd AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= {DUPSPAN_N} THEN
+                       list_transform(
+                         range(1, len(toks) - {DUPSPAN_N} + 2),
+                         i -> array_to_string(
+                             toks[i:i+{DUPSPAN_N}-1], ' '))
+                     ELSE [] END AS grams
+              FROM lowd),
+            pos AS (
+              SELECT doc_id, unnest(grams) AS gram,
+                     generate_subscripts(grams, 1) AS pos
+              FROM gramsd),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gram) AS occ,
+                     row_number() OVER (PARTITION BY gram
+                                        ORDER BY doc_id, pos) AS rn
+              FROM pos),
+            cov AS (
+              SELECT DISTINCT doc_id, p FROM (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           pos, pos + {DUPSPAN_N} - 1)) AS p
+                FROM ranked WHERE occ >= 2 AND rn >= 2) x),
+            toku AS (
+              SELECT doc_id, unnest(otoks) AS tok,
+                     generate_subscripts(otoks, 1) AS i
+              FROM toksd),
+            kept AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS kc,
+                     string_agg(t.tok, ' ' ORDER BY t.i) AS ct
+              FROM toku t
+              LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.p
+              WHERE c.p IS NULL
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(len(d.otoks) AS BIGINT) AS n_tokens,
+                   coalesce(k.kc, 0) AS kept_tokens,
+                   coalesce(k.ct, '') AS clean_text
+            FROM toksd d LEFT JOIN kept k USING (doc_id)
+            ORDER BY doc_id""",
+        # WARC round-trip: the expected relation straight from the
+        # documents table (url = source/doc_id, capture ts = the
+        # 2020-01-01 epoch, payload = the text bytes)
+        "src_warc_roundtrip": """
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1577836800 AS BIGINT) AS warc_epoch,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                       AS n_bytes,
+                   md5(text) AS text_md5,
+                   lang
+            FROM documents ORDER BY url""",
         "ann_lsh_topk": _sql_ann_probe(),
         "ann_index_topk": _sql_ann_probe(),
         "ann_ivf_topk": _sql_ivf_topk(),
@@ -2575,6 +2699,22 @@ def oracle_sql() -> dict[str, str]:
         "pp_lm_score": f"""
             WITH {_sql_lm_ctes()}
             SELECT doc_id, n_tok, lm_score FROM lm_scored
+            ORDER BY doc_id""",
+        # head/middle/tail: value-based cutoffs at the exact 1/3,
+        # 2/3 percentiles — quantile_cont == Spark percentile (both
+        # linear interpolation over the same round-6 doubles; an
+        # interpolated cutoff never falls ON a data value, so ULP
+        # differences cannot flip a bucket)
+        "pp_lm_buckets": f"""
+            WITH {_sql_lm_ctes()},
+            cuts AS (SELECT quantile_cont(lm_score, 1.0/3.0) AS c1,
+                            quantile_cont(lm_score, 2.0/3.0) AS c2
+                     FROM lm_scored)
+            SELECT doc_id, n_tok, lm_score,
+                   CASE WHEN lm_score <= c1 THEN 'head'
+                        WHEN lm_score <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lm_scored, cuts
             ORDER BY doc_id""",
         # head gate: QUALIFY row_number twin of Spark's
         # orderBy(lm_score, doc_id).limit(ceil(frac·n))

@@ -353,6 +353,69 @@ def dup_ngram_span_stats(docs: DataFrame, n: int = 8,
                  .alias("dup_span_frac")))
 
 
+def remove_dup_spans(docs: DataFrame, n: int = 8,
+                     min_count: int = 2) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4: "remove all but one"
+    occurrence of every duplicated substring) at token-n-gram
+    granularity — the cut-and-splice companion to
+    :func:`dup_ngram_span_stats`, which only measures coverage.
+
+    A token n-gram occurring >= ``min_count`` times anywhere in the
+    corpus (same-doc repeats included) is a duplicated span; its
+    globally-FIRST occurrence (min (doc_id, pos)) keeps its tokens,
+    every later occurrence is deleted.  Tokens covered by ANY
+    non-exempt duplicate start are removed, so the keep-one guarantee
+    is per gram start: an exempt gram's tokens can still fall to an
+    overlapping non-exempt neighbour (union-of-intervals semantics,
+    matching the stats operator).  Gram matching is case-insensitive
+    (lowered tokens); the rebuilt text keeps original casing.
+
+    Returns (doc_id, n_tokens, kept_tokens, clean_text) for EVERY
+    input doc — fully-deleted docs come back with kept_tokens = 0 and
+    clean_text = '' (threshold/drop is the caller's policy).
+
+    Scale shape: grams are built in ONE corpus scan; corpus-wide
+    occurrence count + first-occurrence rank are two window functions
+    over a single shuffle on ``xxhash64(gram)`` (8-byte key — the
+    gram string never keys an exchange); removal starts collapse to
+    one sparse per-doc array via a doc_id partial-agg shuffle; the
+    rebuild is a map-side array filter after one join of the corpus
+    against that sparse starts relation (clean docs join nothing and
+    pass through).  Per-token cost of the filter is O(#starts in the
+    doc) — heavily-templated docs pay proportional work, clean docs
+    pay one empty-array check.  Same 64-bit hash-collision caveat as
+    the stats operator (P ~ G²/2⁶⁵)."""
+    from pyspark.sql.window import Window
+
+    from .textstats import lower_tokens_col, ngrams_of_tokens, tokens_col
+    pos = (docs.select("doc_id", lower_tokens_col().alias("toks"))
+           .select("doc_id",
+                   F.posexplode(ngrams_of_tokens(F.col("toks"), n))
+                   .alias("pos", "gram"))
+           .select("doc_id", "pos", F.xxhash64("gram").alias("gh")))
+    w = Window.partitionBy("gh")
+    wo = w.orderBy("doc_id", "pos")
+    starts = (pos
+              .withColumn("occ", F.count("*").over(w))
+              .withColumn("rn", F.row_number().over(wo))
+              .where((F.col("occ") >= min_count) & (F.col("rn") >= 2))
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_list("pos")).alias("starts")))
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("otoks"),
+        lambda t, i: ~F.exists(st, lambda s: (i >= s) & (i < s + n)))
+    proj = (docs.select("doc_id", tokens_col().alias("otoks"))
+            .join(starts, "doc_id", "left")
+            .select("doc_id",
+                    F.size("otoks").cast("long").alias("n_tokens"),
+                    kept.alias("kept")))
+    return proj.select(
+        "doc_id", "n_tokens",
+        F.size("kept").cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", "kept").alias("clean_text"))
+
+
 def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical).
 

@@ -799,6 +799,49 @@ def lm_perplexity_filter(docs: DataFrame, target: DataFrame,
             .select("doc_id", "n_tok", "lm_score"))
 
 
+def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
+                          cuts: tuple = (1.0 / 3, 2.0 / 3),
+                          min_count: int = 1,
+                          alpha: float = LM_ALPHA) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): every
+    doc keeps its LM score and gains a ``bucket`` label — ``head``
+    for the most target-like third (lowest lm_score), then
+    ``middle``, then ``tail``.  CCNet trains downstream models on
+    head (+middle); tail is the usual discard.
+
+    VALUE-based cutoffs (exact percentiles of the score
+    distribution), not rank-based: a doc's bucket depends only on
+    its own score, so the assignment is reproducible across engines
+    and partitionings even though tie runs make bucket SIZES only
+    approximately n/3 — this is CCNet's own convention (percentile
+    cutoffs computed once, then applied as thresholds).  Cutoff
+    floats interpolated between two distinct data values can differ
+    between engines by ULPs, but no doc's score lies strictly
+    between adjacent sorted values, so the comparisons below are
+    engine-stable.
+
+    Scale shape: the score relation is computed ONCE (persisted);
+    the two cutoffs are one exact-percentile aggregate (state
+    O(distinct scores) on one reducer — swap to
+    ``percentile_approx`` at 100 TB, same convention as
+    quality_quantile_filter); bucketing is a map-side CASE.
+    Returns (doc_id, n_tok, lm_score, bucket)."""
+    lo, hi = float(cuts[0]), float(cuts[1])
+    uni, bi, ctx, meta = train_backoff_lm(target, min_count)
+    scores = lm_doc_scores(docs, uni, bi, ctx, meta, alpha).persist()
+    row = scores.agg(
+        F.percentile("lm_score", F.array(F.lit(lo), F.lit(hi)))
+        .alias("cs")).collect()[0]
+    c1, c2 = (float(row["cs"][0]), float(row["cs"][1]))
+    bucket = (F.when(F.col("lm_score") <= c1, F.lit("head"))
+              .when(F.col("lm_score") <= c2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    out = scores.select("doc_id", "n_tok", "lm_score",
+                        bucket.alias("bucket")).localCheckpoint()
+    scores.unpersist()
+    return out
+
+
 # ---- C4 page cleaning rules ------------------------------------------
 # The line/page heuristics of C4 (Raffel et al. 2020, §2.2) — the
 # other canonical Common-Crawl cleaning recipe next to CCNet above:

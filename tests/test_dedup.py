@@ -105,6 +105,67 @@ def test_dup_ngram_span_stats_brute_force(spark, small_docs):
     assert got[900005] == (2, 0, 0, 0.0)
 
 
+def test_remove_dup_spans_brute_force(spark, small_docs):
+    """remove_dup_spans == pure-Python 'remove all but the first
+    occurrence' twin, on real corpus text plus crafted cases."""
+    n = 3
+    crafted = spark.createDataFrame(
+        [(900001, "a b c x y z"),          # first occurrence: kept
+         (900002, "q a b c r s"),          # later occurrence: cut
+         (900003, "p q r p q r p q r"),    # self-repeat: first kept
+         (900004, "totally fresh words appear once"),
+         (900005, "hi there"),             # shorter than one n-gram
+         (900006, "")],                    # empty doc
+        "doc_id long, text string")
+    docs = small_docs.unionByName(crafted)
+
+    import re
+    from collections import defaultdict
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    toks = {d: [t for t in re.split(r"[^a-zA-Z0-9]+", t) if t]
+            for d, t in rows}
+    occ = defaultdict(list)
+    for d in sorted(toks):
+        low = [t.lower() for t in toks[d]]
+        for p in range(len(low) - n + 1):
+            occ[tuple(low[p:p + n])].append((d, p))
+    starts = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for d, p in lst[1:]:  # built in (doc_id, pos) order
+                starts[d].add(p)
+    want = {}
+    for d, ts in toks.items():
+        cov = set()
+        for s in starts.get(d, ()):
+            cov.update(range(s, s + n))
+        kept = [w for i, w in enumerate(ts) if i not in cov]
+        want[d] = (len(ts), len(kept), " ".join(kept))
+
+    got = {r["doc_id"]: (r["n_tokens"], r["kept_tokens"],
+                         r["clean_text"])
+           for r in dedup.remove_dup_spans(docs, n=n).collect()}
+    assert got == want
+    # first occurrence of the cross-doc gram survives, the later is cut
+    assert got[900001][2] == "a b c x y z"
+    assert "a b c" not in got[900002][2]
+    # self-repeating template keeps exactly its first copy
+    assert got[900003] == (9, 3, "p q r")
+    # clean docs pass through byte-identical
+    assert got[900004][2] == "totally fresh words appear once"
+    assert got[900005] == (2, 2, "hi there")
+    assert got[900006] == (0, 0, "")
+
+
+def test_remove_dup_spans_partitioning_invariant(spark, small_docs):
+    a = sorted(tuple(r) for r in
+               dedup.remove_dup_spans(small_docs, n=5).collect())
+    b = sorted(tuple(r) for r in
+               dedup.remove_dup_spans(
+                   small_docs.repartition(13), n=5).collect())
+    assert a == b
+
+
 # ---- incremental cross-batch dedup --------------------------------
 
 

@@ -688,6 +688,39 @@ def test_lm_perplexity_filter_head(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(exp_head)
 
 
+def test_lm_perplexity_buckets(spark):
+    docs = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 2)")
+    got = {r["doc_id"]: (r["n_tok"], r["lm_score"], r["bucket"])
+           for r in pipeline.lm_perplexity_buckets(
+               docs, target).collect()}
+    assert len(got) == len(LM_ROWS)
+    # twin: same scores, value-based cutoffs at exact percentiles
+    # (numpy 'linear' == Spark percentile == DuckDB quantile_cont)
+    import numpy as np
+    exp = _lm_brute(LM_ROWS, {1, 2})
+    scores = np.array([v[1] for v in exp.values()])
+    c1, c2 = np.percentile(scores, [100 / 3, 200 / 3])
+    for d, (n_tok, sc) in exp.items():
+        want = ("head" if sc <= c1 else
+                "middle" if sc <= c2 else "tail")
+        assert got[d] == (n_tok, sc, want), d
+    # the two target docs are the most target-like -> head
+    assert got[1][2] == "head" and got[2][2] == "head"
+    # OOV-heavy doc lands in the tail
+    assert got[6][2] == "tail"
+
+
+def test_lm_buckets_partitioning_invariant(spark, small_docs):
+    target = small_docs.where("doc_id % 11 = 0")
+    a = sorted(tuple(r) for r in pipeline.lm_perplexity_buckets(
+        small_docs, target, min_count=2).collect())
+    b = sorted(tuple(r) for r in pipeline.lm_perplexity_buckets(
+        small_docs.repartition(13), target.repartition(3),
+        min_count=2).collect())
+    assert a == b
+
+
 # ---- C4 page cleaning rules ------------------------------------------
 
 
