@@ -158,6 +158,13 @@ class IndexPaths:
             return self.dictionary
         return os.path.join(self.dictionary, f"v={version}")
 
+    def corpus_stats_version(self, version: int) -> str:
+        """Path of one immutable corpus_stats snapshot record —
+        the time-travel entry point (Iceberg snapshot analog): an
+        IndexReader opened at a version resolves its dictionary,
+        registry and scoring scalars from this one frozen row."""
+        return os.path.join(self.out_dir, f"corpus_stats.v{version}")
+
 
 def check_layout(stats) -> None:
     """Fail fast with a clear message on a layout-incompatible index
@@ -631,8 +638,7 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
     # write overwrite is not crash-atomic).  Readers resolve the
     # dictionary through dict_version, so both tables publish
     # together or not at all.
-    _write_corpus_stats(
-        paths.corpus_stats,
+    stats_values = dict(
         n_docs=n_docs, n_raw_tokens=t_total,
         sum_dl=int(stats_row["sum_dl"] or 0), avgdl=avgdl,
         vocabulary=vocab, heaps_b=heaps_b, heaps_k=heaps_k,
@@ -640,6 +646,13 @@ def finalize_index(spark: SparkSession, out_dir: str, *,
         n_buckets=n_buckets, block_size=block_size, k1=k1, b=b,
         layout=INDEX_LAYOUT_VERSION, dict_version=dict_version,
         stemmed=int(stemmed))
+    # immutable snapshot record FIRST (time-travel entry point —
+    # consistent even if orphaned by a crash here, since the
+    # dictionary + registry it references are already fully
+    # written), then the live commit
+    _write_corpus_stats(paths.corpus_stats_version(dict_version),
+                        **stats_values)
+    _write_corpus_stats(paths.corpus_stats, **stats_values)
     _prune_dict_versions(paths, keep_from=dict_version - 1)
     return {"n_docs": n_docs, "vocabulary": vocab, "avgdl": avgdl,
             "heaps_b": heaps_b, "heaps_k": heaps_k,
@@ -695,12 +708,30 @@ def _prune_dict_versions(paths: IndexPaths, keep_from: int) -> None:
                 shutil.rmtree(os.path.join(paths.dictionary, name),
                               ignore_errors=True)
     for name in os.listdir(paths.out_dir):
-        if (name.startswith("chunks.v") and name[8:].isdigit()
-                and int(name[8:]) < keep_from):
+        stale = (
+            (name.startswith("chunks.v") and name[8:].isdigit()
+             and int(name[8:]) < keep_from)
+            or (name.startswith("corpus_stats.v")
+                and name[14:].isdigit()
+                and int(name[14:]) < keep_from))
+        if stale:
             try:
                 os.remove(os.path.join(paths.out_dir, name))
             except OSError:
                 pass
+
+
+def list_snapshots(index_dir: str) -> list[int]:
+    """Retained time-travel versions at an index dir, ascending —
+    the Iceberg ``snapshots`` metadata-table analog.  Retention
+    follows `_prune_dict_versions`: current + previous (older
+    versions are expired; Iceberg's expire-snapshots trade-off)."""
+    paths = IndexPaths(index_dir)
+    out = []
+    for name in os.listdir(paths.out_dir):
+        if name.startswith("corpus_stats.v") and name[14:].isdigit():
+            out.append(int(name[14:]))
+    return sorted(out)
 
 
 def term_bucket(col, n_buckets: int):

@@ -42,6 +42,7 @@ and WAND-off return rank-identical lists, which
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter, OrderedDict
 
 import numpy as np
@@ -141,10 +142,30 @@ class IndexReader:
     postings with stale global statistics — or see a doc range
     twice across a compaction."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 at_version: int | None = None):
+        """``at_version`` opens the index AT a retained snapshot
+        (Iceberg time travel): the frozen ``corpus_stats.v{N}``
+        record resolves that snapshot's dictionary, chunk registry
+        and scoring scalars, so queries reproduce that snapshot's
+        results bit-for-bit even after later appends/refreshes.
+        Retention is current + previous (index_build.list_snapshots
+        enumerates them); an expired version raises.  Tombstones are
+        the one NON-versioned input — deletes apply to historical
+        reads too, deliberately (takedown/GDPR must reach every
+        queryable snapshot)."""
         self.spark = spark
         self.paths = IndexPaths(index_dir)
-        stats = spark.read.parquet(self.paths.corpus_stats).collect()[0]
+        stats_path = (self.paths.corpus_stats if at_version is None
+                      else self.paths.corpus_stats_version(at_version))
+        if at_version is not None and not os.path.exists(stats_path):
+            from .index_build import list_snapshots
+            raise ValueError(
+                f"snapshot v{at_version} is expired or was never "
+                f"published at {index_dir}; retained versions: "
+                f"{list_snapshots(index_dir) or 'none'}")
+        self._stats_path = stats_path
+        stats = spark.read.parquet(stats_path).collect()[0]
         check_layout(stats)
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
@@ -187,7 +208,7 @@ class IndexReader:
         # corpus_stats is republished, so cached decodes can never
         # cross snapshots (even a rebuild at the same path)
         try:
-            mtime = _stats_mtime(self.paths.corpus_stats)
+            mtime = _stats_mtime(self._stats_path)
         except OSError:
             mtime = None
         self.cache_token = ((index_dir, self.max_chunk, mtime)

@@ -66,9 +66,18 @@ class LocalSearcher:
     """In-process searcher over a built index directory."""
 
     def __init__(self, index_dir: str, max_cached_buckets: int = 64,
-                 corpus_dir: str | None = None):
-        stats = pq.read_table(
-            os.path.join(index_dir, "corpus_stats")).to_pylist()[0]
+                 corpus_dir: str | None = None,
+                 at_version: int | None = None):
+        stats_path = os.path.join(
+            index_dir, "corpus_stats" if at_version is None
+            else f"corpus_stats.v{at_version}")
+        if at_version is not None and not os.path.exists(stats_path):
+            from .index_build import list_snapshots
+            raise ValueError(
+                f"snapshot v{at_version} is expired or was never "
+                f"published at {index_dir}; retained versions: "
+                f"{list_snapshots(index_dir) or 'none'}")
+        stats = pq.read_table(stats_path).to_pylist()[0]
         check_layout(stats)
         self.stats = stats  # full corpus_stats row (httpserver /stat)
         self._dict_version = dict_version_of(stats)

@@ -105,23 +105,32 @@ def _warcinfo(filename: str) -> bytes:
     ], body)
 
 
-def write_warc(pages: DataFrame, out_dir: str) -> list[str]:
+def write_warc(pages: DataFrame, out_dir: str,
+               compress: bool = False) -> list[str]:
     """Distributed WARC sink: each partition writes ONE
-    ``part-{pid:05d}.warc`` (warcinfo header + a response record per
-    row) — the parquet-sink shape: per-task files, no coordination,
-    file count = partition count (``repartition`` upstream to pick
-    WARC sizes; CC targets ~1 GB).  Local/shared-FS path semantics
-    (sandbox local mode = node-local dir); on a real cluster point
-    ``out_dir`` at the mounted DFS.  Returns the written paths."""
+    ``part-{pid:05d}.warc[.gz]`` (warcinfo header + a response
+    record per row) — the parquet-sink shape: per-task files, no
+    coordination, file count = partition count (``repartition``
+    upstream to pick WARC sizes; CC targets ~1 GB).
+    ``compress=True`` gzips the stream (Common Crawl's wire format).
+    Local/shared-FS path semantics (sandbox local mode = node-local
+    dir); on a real cluster point ``out_dir`` at the mounted DFS.
+    Returns the written paths."""
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batches):
+        import gzip
+
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.warc"
+        name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
         path = os.path.join(out_dir, name)
         n = 0
-        with open(path, "wb") as f:
+        # mtime=0: byte-deterministic archives (no timestamp in the
+        # gzip header), so re-runs produce identical files
+        opener = (lambda p: gzip.GzipFile(p, "wb", mtime=0)) \
+            if compress else (lambda p: open(p, "wb"))
+        with opener(path) as f:
             f.write(_warcinfo(name))
             for pdf in batches:
                 for url, ts, html, lang in zip(
@@ -184,11 +193,14 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
              .load(path).select("content"))
 
     def _parse(batches):
+        import gzip
         for pdf in batches:
             urls, tss, htmls, texts, langs = [], [], [], [], []
             for content in pdf["content"]:
-                for url, ts, html, lang in parse_warc_bytes(
-                        bytes(content)):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":  # .warc.gz member(s)
+                    data = gzip.decompress(data)
+                for url, ts, html, lang in parse_warc_bytes(data):
                     dt = _dt.datetime.strptime(
                         ts, _DATE_FMT).replace(tzinfo=_dt.timezone.utc)
                     urls.append(url)

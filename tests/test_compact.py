@@ -157,6 +157,49 @@ def test_compact_then_append_then_refresh(spark, tmp_path_factory):
         assert a == b and a
 
 
+def test_time_travel_reader(spark, tmp_path_factory):
+    """Iceberg-style time travel: IndexReader/LocalSearcher opened
+    ``at_version=N`` reproduce snapshot N's results bit-for-bit after
+    later appends+refreshes; expired versions raise with the
+    retained list."""
+    from rechercheinfoweb_spark.operators.index_build import (
+        list_snapshots,
+    )
+    out = str(tmp_path_factory.mktemp("tt_idx"))
+    pages = synthetic_web_pages(spark, 120).collect()
+    first = spark.createDataFrame(pages[:90], WEB_PAGES_SCHEMA)
+    extra = spark.createDataFrame(pages[90:], WEB_PAGES_SCHEMA)
+    build_index(spark, first, out, n_chunks=4, n_buckets=8)
+    snaps = list_snapshots(out)
+    assert len(snaps) == 1
+    v1 = snaps[0]
+    before = _snapshot(spark, IndexReader(spark, out))
+    l_before = LocalSearcher(out).vector_query(QUERIES[0], "bm25",
+                                               k=10)
+    inc.append_batch(spark, extra, out, batch_id=1, n_buckets=8)
+    inc.refresh(spark, out, n_buckets=8)
+    assert list_snapshots(out) == [v1, v1 + 1]
+    # the live reader sees the append ...
+    assert IndexReader(spark, out).n_docs == 120
+    # ... while time travel reproduces the pre-append snapshot
+    old = IndexReader(spark, out, at_version=v1)
+    assert old.n_docs == 90
+    assert _snapshot(spark, old) == before
+    assert LocalSearcher(out, at_version=v1).vector_query(
+        QUERIES[0], "bm25", k=10) == l_before
+    # at_version pinned to the CURRENT version equals the live view
+    cur = IndexReader(spark, out, at_version=v1 + 1)
+    assert _snapshot(spark, cur) == _snapshot(
+        spark, IndexReader(spark, out))
+    # the next refresh expires v1 (current + previous retention)
+    inc.refresh(spark, out, n_buckets=8)
+    assert v1 not in list_snapshots(out)
+    with pytest.raises(ValueError, match="expired"):
+        IndexReader(spark, out, at_version=v1)
+    with pytest.raises(ValueError, match="expired"):
+        LocalSearcher(out, at_version=v1)
+
+
 def test_stream_with_auto_compaction(spark, tmp_path_factory):
     """compact_every bounds chunk count during unbounded ingestion
     while preserving exact batch-build equivalence."""

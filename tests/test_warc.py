@@ -50,6 +50,18 @@ def test_warc_text_matches_extraction_invariant(spark, tmp_path):
     assert back.where("text <> extracted_text").count() == 0
 
 
+def test_warc_gzip_roundtrip(spark, tmp_path):
+    """compress=True writes .warc.gz (Common Crawl's wire format);
+    the source detects the gzip magic and parses identically."""
+    pages = synthetic_web_pages(spark, 25)
+    plain, gz = str(tmp_path / "p"), str(tmp_path / "g")
+    warc.write_warc(pages, plain)
+    files = warc.write_warc(pages, gz, compress=True)
+    assert all(f.endswith(".warc.gz") for f in files)
+    assert _rows(warc.warc_pages(spark, gz)) \
+        == _rows(warc.warc_pages(spark, plain))
+
+
 def test_warc_skips_non_response_records(tmp_path):
     """warcinfo / request / metadata records are skipped; payloads
     containing CRLF pairs and 'WARC/' round-trip exactly
