@@ -655,6 +655,34 @@ def _q_lm_buckets(spark, sf_dir):
                                           min_count=LM_MIN_COUNT)
 
 
+def _q_lm_buckets_lang(spark, sf_dir):
+    """CCNet buckets PER LANGUAGE (the paper's actual shape — each
+    language gets its own tercile cutoffs so low-resource languages
+    aren't globally tail-binned): one per-stratum percentile
+    aggregate broadcast back over the score relation."""
+    docs, target = _lm_model(spark, sf_dir)
+    return pipeline.lm_perplexity_buckets(
+        docs, target, min_count=LM_MIN_COUNT, by="lang")
+
+
+def _q_mix(spark, sf_dir):
+    """Training-mix assembly (Pile/LLaMA-style source weights):
+    per-source keep rates from one token-totals aggregate land
+    expected token totals on a uniform target mix at the largest
+    no-oversampling budget; selection is the deterministic
+    md5-fraction predicate, so the oracle recomputes the identical
+    doubles end-to-end (totals → budget → rates → hash cut)."""
+    from rechercheinfoweb_spark.operators.textstats import tokens_col
+    docs = _docs(spark, sf_dir)
+    sources = sorted(r["source"] for r in
+                     docs.select("source").distinct().collect())
+    f = 1.0 / len(sources)
+    out = pipeline.sample_to_mix(docs, {s: f for s in sources})
+    return out.select(
+        "doc_id", "source",
+        F.size(tokens_col()).cast("long").alias("n_tok"))
+
+
 def _q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip as a relation: documents → WARC
     files (distributed ``write_warc`` sink, one file per partition)
@@ -1888,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_lm_score": _q_lm_score,
         "pp_lm_filter": _q_lm_filter,
         "pp_lm_buckets": _q_lm_buckets,
+        "pp_lm_buckets_lang": _q_lm_buckets_lang,
+        "pp_mix": _q_mix,
         "pp_c4_clean": _q_c4_clean,
         "src_warc_roundtrip": _q_warc_roundtrip,
         "ts_gopher": _q_gopher,
@@ -2715,6 +2745,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lm_score <= c2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM lm_scored, cuts
+            ORDER BY doc_id""",
+        # per-language terciles: one quantile pair per lang, joined
+        # back — the CCNet paper's actual bucketing shape
+        "pp_lm_buckets_lang": f"""
+            WITH {_sql_lm_ctes()},
+            ld AS (
+              SELECT s.doc_id, s.n_tok, s.lm_score, d.lang
+              FROM lm_scored s
+              JOIN (SELECT DISTINCT doc_id, lang FROM documents) d
+              USING (doc_id)),
+            cuts AS (
+              SELECT lang,
+                     quantile_cont(lm_score, 1.0/3.0) AS c1,
+                     quantile_cont(lm_score, 2.0/3.0) AS c2
+              FROM ld GROUP BY lang)
+            SELECT ld.doc_id, ld.n_tok, ld.lm_score, ld.lang,
+                   CASE WHEN lm_score <= c1 THEN 'head'
+                        WHEN lm_score <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ld JOIN cuts USING (lang)
+            ORDER BY doc_id""",
+        # training-mix assembly: totals -> no-oversampling budget ->
+        # per-source rates -> md5-fraction cut, every double built
+        # through the same expression shape as the engine
+        "pp_mix": f"""
+            WITH nt AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(
+                         text, '{SQL_TOKEN_SPLIT}'),
+                         t -> t <> '')) AS BIGINT) AS n_tok
+              FROM documents),
+            fr AS (SELECT 1.0 / count(DISTINCT source) AS f
+                   FROM documents),
+            tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t
+                    FROM nt GROUP BY source
+                    HAVING sum(n_tok) > 0),
+            bb AS (SELECT min(t / f) AS b FROM tot, fr),
+            rates AS (SELECT source, f * b / t AS r
+                      FROM tot, fr, bb)
+            SELECT n.doc_id, n.source, n.n_tok
+            FROM nt n JOIN rates USING (source)
+            WHERE ('0x' || substr(md5(CAST(n.doc_id AS VARCHAR)),
+                                  1, 8))::UBIGINT / 4294967296.0 < r
             ORDER BY doc_id""",
         # head gate: QUALIFY row_number twin of Spark's
         # orderBy(lm_score, doc_id).limit(ceil(frac·n))

@@ -204,6 +204,55 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
                        & (sample_fraction_col(id_col) < rate)))
 
 
+def mix_rates(docs: DataFrame, mix: dict[str, float],
+              budget: int | None = None,
+              by: str = "source") -> dict[str, float]:
+    """Per-stratum keep rates that land token totals on a target
+    mix (the corpus-assembly step of every LLM training recipe —
+    Pile/LLaMA-style source weights).
+
+    ``mix`` maps stratum → target fraction of the output token
+    budget and must already sum to 1 (NOT renormalized here: a
+    normalization sum is float-order-sensitive and would break
+    engine reproducibility).  ``budget`` is the output token budget;
+    default is the largest budget achievable without oversampling
+    any stratum (no rate exceeds 1 — sampling only downsamples;
+    upsampling/epoch-repeat is the trainer's job).  Strata with zero
+    target weight, zero tokens, or absent from ``mix`` are dropped.
+
+    One aggregation job (per-stratum token totals — a tiny key);
+    everything else is driver arithmetic on one scalar per stratum.
+    Both the totals->rates arithmetic and the downstream hash
+    predicate are engine-reproducible (the DuckDB oracle recomputes
+    identical doubles through the identical expression shapes)."""
+    if abs(sum(mix.values()) - 1.0) > 1e-9:
+        raise ValueError("mix fractions must sum to 1")
+    toks = tokens_col()
+    totals = {r[by]: int(r["t"]) for r in
+              (docs.withColumn("_nt", F.size(toks).cast("long"))
+               .groupBy(by).agg(F.sum("_nt").alias("t")).collect())}
+    live = {s: f for s, f in mix.items()
+            if f > 0 and totals.get(s, 0) > 0}
+    if not live:
+        return {}
+    b = min(totals[s] / live[s] for s in live)
+    if budget is not None:
+        b = min(float(budget), b)
+    return {s: live[s] * b / totals[s] for s in live}
+
+
+def sample_to_mix(docs: DataFrame, mix: dict[str, float],
+                  budget: int | None = None, by: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Assemble a training mix: deterministic hash-sample each
+    stratum at :func:`mix_rates` so expected token totals follow the
+    target proportions.  Map-side after one totals aggregation —
+    composes with a parquet scan without moving data (the
+    stratified_sample machinery)."""
+    return stratified_sample(docs, mix_rates(docs, mix, budget, by),
+                             by=by, id_col=id_col)
+
+
 def quality_quantile_filter(docs: DataFrame, keep_frac: float,
                             by: str = "source") -> DataFrame:
     """Keep each stratum's top ``keep_frac`` docs by quality score
@@ -802,7 +851,8 @@ def lm_perplexity_filter(docs: DataFrame, target: DataFrame,
 def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
                           cuts: tuple = (1.0 / 3, 2.0 / 3),
                           min_count: int = 1,
-                          alpha: float = LM_ALPHA) -> DataFrame:
+                          alpha: float = LM_ALPHA,
+                          by: str | None = None) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): every
     doc keeps its LM score and gains a ``bucket`` label — ``head``
     for the most target-like third (lowest lm_score), then
@@ -825,19 +875,40 @@ def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
     O(distinct scores) on one reducer — swap to
     ``percentile_approx`` at 100 TB, same convention as
     quality_quantile_filter); bucketing is a map-side CASE.
-    Returns (doc_id, n_tok, lm_score, bucket)."""
+    Returns (doc_id, n_tok, lm_score, bucket).
+
+    ``by``: CCNet proper buckets PER LANGUAGE (each language gets
+    its own tercile cutoffs — a global cut would put whole
+    low-resource languages in the tail).  Pass a docs column name
+    (e.g. ``lang``): cutoffs become one per-stratum percentile
+    aggregate (strata-count rows, broadcast back), output gains the
+    stratum column."""
     lo, hi = float(cuts[0]), float(cuts[1])
     uni, bi, ctx, meta = train_backoff_lm(target, min_count)
-    scores = lm_doc_scores(docs, uni, bi, ctx, meta, alpha).persist()
-    row = scores.agg(
-        F.percentile("lm_score", F.array(F.lit(lo), F.lit(hi)))
-        .alias("cs")).collect()[0]
-    c1, c2 = (float(row["cs"][0]), float(row["cs"][1]))
-    bucket = (F.when(F.col("lm_score") <= c1, F.lit("head"))
-              .when(F.col("lm_score") <= c2, F.lit("middle"))
+    scores = lm_doc_scores(docs, uni, bi, ctx, meta, alpha)
+    pct = F.percentile("lm_score", F.array(F.lit(lo), F.lit(hi)))
+    bucket = (F.when(F.col("lm_score") <= F.col("_c1"), F.lit("head"))
+              .when(F.col("lm_score") <= F.col("_c2"),
+                    F.lit("middle"))
               .otherwise(F.lit("tail")))
+    if by is not None:
+        scores = scores.join(docs.select("doc_id", by), "doc_id")
+        scores = scores.persist()
+        cuts_tbl = scores.groupBy(by).agg(
+            pct[0].alias("_c1"), pct[1].alias("_c2"))
+        out = (scores.join(F.broadcast(cuts_tbl), by)
+               .select("doc_id", "n_tok", "lm_score", by,
+                       bucket.alias("bucket"))).localCheckpoint()
+        scores.unpersist()
+        return out
+    scores = scores.persist()
+    row = scores.agg(pct.alias("cs")).collect()[0]
+    c1, c2 = (float(row["cs"][0]), float(row["cs"][1]))
+    bucket_lit = (F.when(F.col("lm_score") <= c1, F.lit("head"))
+                  .when(F.col("lm_score") <= c2, F.lit("middle"))
+                  .otherwise(F.lit("tail")))
     out = scores.select("doc_id", "n_tok", "lm_score",
-                        bucket.alias("bucket")).localCheckpoint()
+                        bucket_lit.alias("bucket")).localCheckpoint()
     scores.unpersist()
     return out
 

@@ -711,6 +711,81 @@ def test_lm_perplexity_buckets(spark):
     assert got[6][2] == "tail"
 
 
+def test_lm_buckets_by_lang(spark):
+    """Per-language terciles: each language is cut against its own
+    score distribution (CCNet's actual shape)."""
+    rows = [(d, t, "en" if d <= 4 else "de") for d, t in LM_ROWS]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    target = docs.where("doc_id in (1, 2)")
+    got = {r["doc_id"]: (r["n_tok"], r["lm_score"], r["lang"],
+                         r["bucket"])
+           for r in pipeline.lm_perplexity_buckets(
+               docs, target, by="lang").collect()}
+    assert len(got) == len(LM_ROWS)
+    import numpy as np
+    exp = _lm_brute(LM_ROWS, {1, 2})
+    for lang in ("en", "de"):
+        ids = [d for d, _, la in rows if la == lang]
+        sc = np.array([exp[d][1] for d in ids])
+        c1, c2 = np.percentile(sc, [100 / 3, 200 / 3])
+        for d in ids:
+            want = ("head" if exp[d][1] <= c1 else
+                    "middle" if exp[d][1] <= c2 else "tail")
+            assert got[d] == (exp[d][0], exp[d][1], lang, want), d
+    # every language has a head doc under its own cutoffs
+    assert any(v[3] == "head" and v[2] == "de" for v in got.values())
+
+
+# ---- training-mix assembly -------------------------------------------
+
+
+def _mix_docs(spark):
+    rows = []
+    for i in range(10):
+        rows.append((100 + i, "A", "tok " * 100))
+    for i in range(10):
+        rows.append((200 + i, "B", "tok " * 30))
+    for i in range(5):
+        rows.append((300 + i, "C", "tok " * 20))
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+
+
+def test_mix_rates_and_sample(spark):
+    rows, docs = _mix_docs(spark)
+    mix = {"A": 1 / 3, "B": 1 / 3, "C": 1 / 3}
+    rates = pipeline.mix_rates(docs, mix)
+    # totals: A=1000, B=300, C=100 -> budget = min(t/f) = 300
+    # -> per-source target 100 tokens
+    assert abs(rates["A"] - 0.1) < 1e-12
+    assert abs(rates["B"] - 1 / 3) < 1e-12
+    assert rates["C"] == 1.0  # never oversample
+    got = sorted(r["doc_id"] for r in
+                 pipeline.sample_to_mix(docs, mix).collect())
+    import hashlib
+    def fr(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8],
+                   16) / 2 ** 32
+    want = sorted(d for d, s, _ in rows if fr(d) < rates[s])
+    assert got == want
+    # all of the scarcest source is kept
+    assert all(300 + i in got for i in range(5))
+    # an explicit smaller budget halves every rate
+    r2 = pipeline.mix_rates(docs, mix, budget=150)
+    for s in rates:
+        assert abs(r2[s] - min(1.0, rates[s] / 2)) < 1e-12
+
+
+def test_mix_validation(spark):
+    _rows, docs = _mix_docs(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        pipeline.mix_rates(docs, {"A": 0.5, "B": 0.2})
+    # sources absent from the mix are dropped entirely
+    sel = pipeline.sample_to_mix(docs, {"A": 0.5, "B": 0.5})
+    assert sel.where("source = 'C'").count() == 0
+
+
 def test_lm_buckets_partitioning_invariant(spark, small_docs):
     target = small_docs.where("doc_id % 11 = 0")
     a = sorted(tuple(r) for r in pipeline.lm_perplexity_buckets(
