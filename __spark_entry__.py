@@ -257,6 +257,14 @@ def _q_source_mix(spark, sf_dir):
     return textstats.source_mix(_docs(spark, sf_dir))
 
 
+def _q_nfc(spark, sf_dir):
+    """Unicode NFC normalization (ingest hygiene): Arrow-batched
+    unicodedata kernel with an ASCII fast path; the oracle pins the
+    normalization itself cross-engine via DuckDB's native
+    nfc_normalize."""
+    return textstats.normalize_text(_docs(spark, sf_dir))
+
+
 def _q_winnow_fp(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (Rabin-Karp k-gram hashes,
     per-window minima) — the Arrow kernel's O(k·n) Horner passes are
@@ -1889,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_repetition": _q_repetition,
         "ts_pii": _q_pii,
         "ts_source_mix": _q_source_mix,
+        "ts_nfc": _q_nfc,
         "ts_winnow_fp": _q_winnow_fp,
         "pp_decontaminate": _q_decontaminate,
         "dd_winnow_pairs": _q_winnow_pairs,
@@ -2264,6 +2273,12 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_tokens,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM documents GROUP BY source""",
+        # cross-engine pin of Unicode NFC itself (DuckDB native)
+        "ts_nfc": """
+            SELECT doc_id, nfc_normalize(text) AS text_norm,
+                   CAST(nfc_normalize(text) <> text AS INT)
+                       AS changed
+            FROM documents ORDER BY doc_id""",
         "ts_winnow_fp": f"""
             WITH {_sql_winnow_fp_cte()}
             SELECT doc_id, fp FROM fpt""",

@@ -490,6 +490,13 @@ def main() -> None:
         extra["dup_span_docs"] = (
             dedup.dup_ngram_span_stats(docs, n=8)
             .where(F.col("dup_span_frac") > 0).count())
+    # ExactSubstr REMOVAL over the full table: same hash shuffle as
+    # the stats op + one sparse starts join + map-side text rebuild
+    with timed("remove_dup_spans"):
+        extra["dup_span_tokens_cut"] = int(
+            dedup.remove_dup_spans(docs, n=8)
+            .agg(F.sum(F.col("n_tokens") - F.col("kept_tokens")))
+            .collect()[0][0] or 0)
     # rolling-hash winnowing fingerprints (full table) + overlap
     # pairs with the hot-fingerprint guard
     with timed("winnow_fp"):
@@ -553,6 +560,18 @@ def main() -> None:
         extra["lm_kept"] = pipeline.lm_perplexity_filter(
             docs, docs.where(F.col("doc_id") % 11 == 0),
             keep_frac=0.3, min_count=2).count()
+    # CCNet per-language buckets + training-mix assembly: one
+    # percentile pair per lang over the score relation; one totals
+    # agg + map-side hash cut for the mix
+    with timed("lm_buckets_lang"):
+        extra["lm_head_docs"] = pipeline.lm_perplexity_buckets(
+            docs, docs.where(F.col("doc_id") % 11 == 0),
+            min_count=2, by="lang").where("bucket = 'head'").count()
+    with timed("sample_mix"):
+        _srcs = sorted(r["source"] for r in
+                       docs.select("source").distinct().collect())
+        extra["mix_sampled"] = pipeline.sample_to_mix(
+            docs, {s: 1.0 / len(_srcs) for s in _srcs}).count()
     # C4 line rule over the full docs table: linear in paragraphs
     # (md5 winner agg + join back + per-doc rebuild)
     with timed("paragraph_dedup"):

@@ -321,6 +321,47 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame, form: str = "NFC") -> DataFrame:
+    """Unicode normalization (crawl-ingest hygiene: mojibake-adjacent
+    pages mix composed and decomposed accents, so every downstream
+    hash/dedup/token op sees two spellings of the same text until
+    this runs).  Returns (doc_id, text_norm, changed).
+
+    Spark has no normalization built-in, so this is one Arrow-batched
+    pandas UDF over the text column — map-side, no shuffle, and at
+    100 TB it fuses into the same corpus scan as the other ingest
+    gates.  A fast pre-check skips the Python normalizer for pure-
+    ASCII batches (the overwhelming web-corpus case) since ASCII is
+    a fixed point of every normalization form.  NFC is the default
+    (content-preserving); NFKC also folds compatibility forms
+    (ligatures, full-width) — more aggressive, flagged for tokenizer
+    pipelines.  The DuckDB oracle recomputes NFC with its native
+    ``nfc_normalize`` — a cross-engine pin of the normalization
+    itself, which is stable across Unicode versions for assigned
+    codepoints."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if t.isascii():
+                return t
+            return unicodedata.normalize(form, t)
+        return s.map(one)
+
+    # project the UDF once, derive `changed` from the projected
+    # column (inlining the expression twice would run the UDF twice
+    # — Catalyst does not CSE Python UDF calls)
+    staged = docs.select("doc_id", "text",
+                         _norm(F.col("text")).alias("text_norm"))
+    return staged.select(
+        "doc_id", "text_norm",
+        (F.col("text_norm") != F.col("text")).cast("int")
+        .alias("changed"))
+
+
 def source_mix(docs: DataFrame) -> DataFrame:
     """Per-source corpus mix: doc/token/char totals — the numbers a
     training run budgets its data mixture with.  One partial-agg

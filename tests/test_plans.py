@@ -98,6 +98,40 @@ def test_lsh_verified_join_has_no_cartesian(spark, tmp_path_factory):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_to_mix_is_map_side(spark, tmp_path_factory):
+    """After the one totals aggregate (a separate job), the returned
+    sample is scan + filter only — NO Exchange: the mix predicate
+    must compose with the parquet scan without moving data."""
+    from rechercheinfoweb_spark.operators import pipeline
+    src = str(tmp_path_factory.mktemp("mix_src"))
+    (spark.range(0, 200)
+     .select(F.col("id").alias("doc_id"),
+             F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+             .alias("source"),
+             F.lit("alpha beta gamma delta").alias("text"))
+     .write.mode("overwrite").parquet(src))
+    docs = spark.read.parquet(src)
+    out = pipeline.sample_to_mix(
+        docs, {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_remove_dup_spans_shuffles_hash_not_gram(spark, pages_df):
+    """The corpus-wide occurrence window must key its exchange on
+    the 8-byte xxhash64, never the gram string (the string would be
+    ~9x wider on the wire at n=8)."""
+    from rechercheinfoweb_spark.operators import dedup
+    docs = pages_df.select(
+        F.monotonically_increasing_id().alias("doc_id"), "text")
+    import re
+    plan = _plan(dedup.remove_dup_spans(docs, n=8))
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
+                           plan)
+    assert any("gh#" in e for e in exchanges), exchanges
+    assert not any("gram#" in e for e in exchanges), exchanges
+
+
 def test_topk_url_join_broadcasts_small_side(spark, reader):
     df = vector_topk(spark, reader, "search engine", "bm25", k=10,
                      with_urls=True)

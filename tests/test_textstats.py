@@ -206,3 +206,43 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     plan = pipeline.contamination(train, bench, n=3)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---- Unicode normalization -------------------------------------------
+
+
+def test_normalize_text_nfc(spark):
+    """NFC kernel == unicodedata == DuckDB nfc_normalize (cross-
+    engine pin on composed/decomposed/ligature/ASCII cases)."""
+    import unicodedata
+
+    rows = [
+        (1, "cafe\u0301 composed"),      # decomposed e+acute
+        (2, "caf\u00e9 already"),        # NFC fixed point
+        (3, "plain ascii only"),
+        (4, "\ufb01rst ligature stays"),  # NFC keeps U+FB01
+        (5, ""),
+        (6, "\u00c5 ring + \u212b angstrom"),  # both -> U+00C5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_norm"], r["changed"])
+           for r in textstats.normalize_text(docs).collect()}
+    for d, t in rows:
+        want = unicodedata.normalize("NFC", t)
+        assert got[d] == (want, int(want != t)), d
+    assert got[1] == ("caf\u00e9 composed", 1)
+    assert got[4][1] == 0   # ligature untouched under NFC
+    assert got[6][1] == 1   # angstrom sign folded to ring A
+
+    import duckdb
+    for d, t in rows:
+        if t.isascii():
+            continue
+        assert duckdb.execute(
+            "SELECT nfc_normalize(?)", [t]).fetchone()[0] \
+            == got[d][0], d
+
+    # NFKC additionally folds compatibility forms
+    nk = {r["doc_id"]: r["text_norm"] for r in
+          textstats.normalize_text(docs, form="NFKC").collect()}
+    assert nk[4].startswith("first")
