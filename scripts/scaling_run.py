@@ -83,11 +83,6 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
         # the kernels).  Provision like a real cluster: per-core
         # rate + base, matching session._default_driver_memory.
         exec_mem_mb = (2 + 2 * exec_cores) * 1024
-        # Xms=Xmx: G1's adaptive sizing uncommits idle heap, and on
-        # this fault-throttled host every re-commit refaults pages
-        # mid-run; a pinned heap (+ AlwaysPreTouch below) moves ALL
-        # heap faults to executor launch, outside the timer.
-        jvm_xms = f"-Xms{exec_mem_mb}m"
         # Each executor JVM sizes its internal thread pools (parallel
         # GC workers, netty event loops, ForkJoinPool) from
         # Runtime.availableProcessors = the MACHINE's 32 CPUs, not its
@@ -97,19 +92,23 @@ def child(cores: int, corpus: str, out_dir: str, n_chunks: int,
         # Real clusters fix this with container CPU limits;
         # -XX:ActiveProcessorCount is the JVM-flag equivalent, applied
         # to every JVM in the pinned tree (driver included).
-        # AlwaysPreTouch: fault the whole Xms=Xmx heap at executor
-        # LAUNCH (excluded by the warm-up) instead of lazily during
-        # the measured build — on this fault-throttled host, lazy
-        # heap growth charges the page-fault tax to the run, and
-        # unevenly between the N and 4N legs.
-        jvm_cpus = (f"-XX:ActiveProcessorCount={exec_cores} "
-                    f"-XX:+AlwaysPreTouch {jvm_xms}")
-        # the DRIVER JVM has its own (smaller) heap — session.py sets
-        # 8g in local-cluster mode — so it must NOT inherit the
-        # executor's -Xms (Xms > driver Xmx fails VM init for any
-        # exec_cores >= 3); pin its Xms to its own Xmx instead
-        driver_jvm = (f"-XX:ActiveProcessorCount={exec_cores} "
-                      f"-XX:+AlwaysPreTouch -Xms8g")
+        #
+        # NO -Xms/-XX:+AlwaysPreTouch: an earlier round pinned and
+        # pre-touched every heap to move heap faults outside the
+        # timer, but a controlled bisect on a real standalone
+        # cluster (4x2-core confined workers, same corpus, same
+        # session) measured the pre-touched pinned heaps THEMSELVES
+        # as the multi-executor bottleneck on this balloon-throttled
+        # host: 543 docs/s with "-XX:+AlwaysPreTouch -Xms6g" vs
+        # 755-771 docs/s without (ActiveProcessorCount alone: 771).
+        # Event-log forensics showed the cost lands on the PYTHON
+        # workers — tasks waiting on workers for 343 s while
+        # executor CPU burned 66 s — i.e. the 24 GB of pre-touched
+        # resident heap degrades the hypervisor's fault service for
+        # every later worker-side allocation, the opposite of the
+        # flag's intent.  See BASELINE.md round-3 addendum 3.
+        jvm_cpus = f"-XX:ActiveProcessorCount={exec_cores}"
+        driver_jvm = f"-XX:ActiveProcessorCount={exec_cores}"
         spark = get_spark(
             app_name=f"riw-scaling-{executors}x{exec_cores}",
             master=f"local-cluster[{executors},{exec_cores},"
