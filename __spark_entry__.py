@@ -1879,61 +1879,21 @@ def _sql_lg_pagerank(n_iter: int = _PR_ITER,
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the correctness driver checks only the FIRST 50
+    # entries of this dict.  Rounds 1-3 left 26 entries (everything from
+    # ts_gopher_rep down in the old order) outside that window, so they
+    # never got a driver-recorded oracle row even though check_contract.py
+    # verified them green by hand.  Round 4 rotates those 26 to the front,
+    # then fills the rest of the window with a representative core of the
+    # r03-green ft_*/ts_*/dd_*/pp_* rows; the remaining 26 (all with green
+    # CORRECTNESS_r03 rows on record) sit past position 50.
     return {
-        "ft_term_doc_tf": _q_term_doc_tf,
-        "ft_doc_token_counts": _q_doc_token_counts,
-        "ft_df_idf": _q_df_idf,
-        "ft_top_terms": _q_top_terms,
-        "ft_bool_and": _q_bool_and,
-        "ft_bool_or": _q_bool_or,
-        "ft_bool_and_not": _q_bool_and_not,
-        "ft_tfidf_topk": _q_tfidf_topk,
-        "ft_bm25_topk": _q_bm25_topk,
-        "ft_corpus_stats": _q_corpus_stats,
-        "ft_doc_ids": _q_doc_ids,
-        "ts_lang_id": _q_lang_id,
-        "ts_quality": _q_quality,
-        "ts_fingerprint": _q_fingerprint,
-        "ts_repetition": _q_repetition,
-        "ts_pii": _q_pii,
-        "ts_source_mix": _q_source_mix,
-        "ts_nfc": _q_nfc,
-        "ts_winnow_fp": _q_winnow_fp,
-        "pp_decontaminate": _q_decontaminate,
-        "dd_winnow_pairs": _q_winnow_pairs,
-        "dd_exact": _q_dedup_exact,
-        "dd_minhash_sigs": _q_minhash_sigs,
-        "dd_lsh_pairs": _q_lsh_pairs,
-        "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
-        "dd_incremental_pairs": _q_incremental_pairs,
-        "dd_jaccard_pairs": _q_jaccard_pairs,
-        "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
-        "dd_dup_spans": _q_dup_spans,
-        "dd_remove_dup_spans": _q_remove_dup_spans,
-        "dd_lsh_jaccard_verified": _q_lsh_jaccard_verified,
-        "dd_simhash": _q_simhash,
-        "dd_simhash_pairs": _q_simhash_pairs,
-        "dd_clusters": _q_clusters,
-        "pp_clean": _q_pipeline_clean,
-        "pp_sample": _q_sample,
-        "pp_quality_quantile": _q_quality_quantile,
-        "pp_url_dedup": _q_url_dedup,
-        "pp_para_dedup": _q_para_dedup,
-        "pp_nb_quality": _q_nb_quality,
-        "pp_dsir_weights": _q_dsir_weights,
-        "pp_dsir_select": _q_dsir_select,
-        "pp_lm_score": _q_lm_score,
-        "pp_lm_filter": _q_lm_filter,
-        "pp_lm_buckets": _q_lm_buckets,
-        "pp_lm_buckets_lang": _q_lm_buckets_lang,
-        "pp_mix": _q_mix,
-        "pp_c4_clean": _q_c4_clean,
-        "src_warc_roundtrip": _q_warc_roundtrip,
-        "ts_gopher": _q_gopher,
+        # --- the 26 entries never seen by the driver before round 4 ---
         "ts_gopher_rep": _q_gopher_rep,
         "ts_bpe_counts": _q_bpe_counts,
         "pp_pack_shards": _q_pack_shards,
         "ft_phrase": _q_phrase,
+        "ft_heaps_curve": _q_heaps_curve,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_index_topk": _q_ann_index,
@@ -1947,7 +1907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _q_sessionize,
         "ev_pr_curve": _q_pr_curve,
         "ev_value_percentiles": _q_value_percentiles,
-        "ft_heaps_curve": _q_heaps_curve,
         "lg_degrees": _q_lg_degrees,
         "lg_pagerank": _q_lg_pagerank,
         "ix_spell_suggest": _q_spell_suggest,
@@ -1956,6 +1915,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
         "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
         "ix_engine_bm25_purged": _q_engine_bm25_purged,
+        # --- representative core of the r03-green rows (slots 27-50) ---
+        "ft_term_doc_tf": _q_term_doc_tf,
+        "ft_df_idf": _q_df_idf,
+        "ft_bool_and": _q_bool_and,
+        "ft_bool_or": _q_bool_or,
+        "ft_bool_and_not": _q_bool_and_not,
+        "ft_tfidf_topk": _q_tfidf_topk,
+        "ft_bm25_topk": _q_bm25_topk,
+        "ft_corpus_stats": _q_corpus_stats,
+        "ft_doc_ids": _q_doc_ids,
+        "ts_lang_id": _q_lang_id,
+        "ts_quality": _q_quality,
+        "ts_nfc": _q_nfc,
+        "ts_gopher": _q_gopher,
+        "dd_exact": _q_dedup_exact,
+        "dd_minhash_sigs": _q_minhash_sigs,
+        "dd_lsh_pairs": _q_lsh_pairs,
+        "dd_jaccard_pairs": _q_jaccard_pairs,
+        "dd_simhash_pairs": _q_simhash_pairs,
+        "dd_clusters": _q_clusters,
+        "dd_incremental_pairs": _q_incremental_pairs,
+        "pp_clean": _q_pipeline_clean,
+        "pp_decontaminate": _q_decontaminate,
+        "pp_mix": _q_mix,
+        "src_warc_roundtrip": _q_warc_roundtrip,
+        # --- past the driver window; all have green CORRECTNESS_r03 rows ---
+        "ft_doc_token_counts": _q_doc_token_counts,
+        "ft_top_terms": _q_top_terms,
+        "ts_fingerprint": _q_fingerprint,
+        "ts_repetition": _q_repetition,
+        "ts_pii": _q_pii,
+        "ts_source_mix": _q_source_mix,
+        "ts_winnow_fp": _q_winnow_fp,
+        "dd_winnow_pairs": _q_winnow_pairs,
+        "dd_lsh_pairs_capped": _q_lsh_pairs_capped,
+        "dd_jaccard_pairs_capped": _q_jaccard_pairs_capped,
+        "dd_dup_spans": _q_dup_spans,
+        "dd_remove_dup_spans": _q_remove_dup_spans,
+        "dd_lsh_jaccard_verified": _q_lsh_jaccard_verified,
+        "dd_simhash": _q_simhash,
+        "pp_sample": _q_sample,
+        "pp_quality_quantile": _q_quality_quantile,
+        "pp_url_dedup": _q_url_dedup,
+        "pp_para_dedup": _q_para_dedup,
+        "pp_nb_quality": _q_nb_quality,
+        "pp_dsir_weights": _q_dsir_weights,
+        "pp_dsir_select": _q_dsir_select,
+        "pp_lm_score": _q_lm_score,
+        "pp_lm_filter": _q_lm_filter,
+        "pp_lm_buckets": _q_lm_buckets,
+        "pp_lm_buckets_lang": _q_lm_buckets_lang,
+        "pp_c4_clean": _q_c4_clean,
     }
 
 
