@@ -374,6 +374,10 @@ def remove_dup_spans(docs: DataFrame, n: int = 8,
     input doc — fully-deleted docs come back with kept_tokens = 0 and
     clean_text = '' (threshold/drop is the caller's policy).
 
+    ``min_count`` must be >= 2: the keep-one exemption means a gram
+    occurring once can never be cut, so lower values cannot change
+    the output and are rejected rather than silently behaving as 2.
+
     Scale shape: grams are built in ONE corpus scan; corpus-wide
     occurrence count + first-occurrence rank are two window functions
     over a single shuffle on ``xxhash64(gram)`` (8-byte key — the
@@ -388,6 +392,11 @@ def remove_dup_spans(docs: DataFrame, n: int = 8,
     from pyspark.sql.window import Window
 
     from .textstats import lower_tokens_col, ngrams_of_tokens, tokens_col
+    if min_count < 2:
+        raise ValueError(
+            f"min_count={min_count} is a no-op: the first occurrence "
+            "of every gram is always kept, so only grams with >= 2 "
+            "occurrences can ever be cut; pass min_count >= 2")
     pos = (docs.select("doc_id", lower_tokens_col().alias("toks"))
            .select("doc_id",
                    F.posexplode(ngrams_of_tokens(F.col("toks"), n))

@@ -45,7 +45,16 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark.sql.types import StructField, StructType
+
 from .web_pages import WEB_PAGES_SCHEMA
+
+# Same shape as WEB_PAGES_SCHEMA but warc_ts is NULLABLE: a real
+# archive can carry a missing/unparseable WARC-Date, which the
+# tolerant parse surfaces as null rather than a dead scan task.
+_WARC_PAGES_SCHEMA = StructType([
+    StructField(f.name, f.dataType, f.name == "warc_ts")
+    for f in WEB_PAGES_SCHEMA.fields])
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
@@ -78,11 +87,21 @@ def _record(rtype: str, headers: list[str], payload: bytes) -> bytes:
 
 
 def format_response_record(url: str, ts: _dt.datetime, html: bytes,
-                           lang: str) -> bytes:
+                           lang: str, *,
+                           naive_tz: _dt.tzinfo = _dt.timezone.utc
+                           ) -> bytes:
     """One WARC/1.0 response record: WARC headers + HTTP envelope +
-    html payload, Content-Length framed at both layers."""
-    if ts.tzinfo is not None:
-        ts = ts.astimezone(_dt.timezone.utc)
+    html payload, Content-Length framed at both layers.
+
+    ``naive_tz`` is the zone attached to tz-NAIVE timestamps before
+    converting to UTC (``write_warc`` passes the Spark session
+    timezone, since Arrow hands the kernel session-local naive
+    values).  WARC/1.0 dates are second-granular — sub-second
+    precision is truncated by design (WARC/1.1 allows fractions;
+    ``warc_pages`` parses both)."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=naive_tz)
+    ts = ts.astimezone(_dt.timezone.utc)
     http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
             b"charset=UTF-8\r\nContent-Length: "
             + str(len(html)).encode() + b"\r\n\r\n" + html)
@@ -106,22 +125,47 @@ def _warcinfo(filename: str) -> bytes:
 
 
 def write_warc(pages: DataFrame, out_dir: str,
-               compress: bool = False) -> list[str]:
+               compress: bool = False,
+               mode: str = "error") -> list[str]:
     """Distributed WARC sink: each partition writes ONE
     ``part-{pid:05d}.warc[.gz]`` (warcinfo header + a response
     record per row) — the parquet-sink shape: per-task files, no
     coordination, file count = partition count (``repartition``
     upstream to pick WARC sizes; CC targets ~1 GB).
     ``compress=True`` gzips the stream (Common Crawl's wire format).
+    ``mode`` mirrors a parquet sink: ``"error"`` (default) refuses an
+    out_dir that already holds part files — a re-run with fewer
+    partitions must not silently merge stale parts into the dataset —
+    and ``"overwrite"`` removes existing ``part-*.warc[.gz]`` first.
     Local/shared-FS path semantics (sandbox local mode = node-local
     dir); on a real cluster point ``out_dir`` at the mounted DFS.
     Returns the written paths."""
     os.makedirs(out_dir, exist_ok=True)
+    stale = [f for f in os.listdir(out_dir)
+             if f.startswith("part-")
+             and (f.endswith(".warc") or f.endswith(".warc.gz"))]
+    if stale:
+        if mode == "overwrite":
+            for f in stale:
+                os.remove(os.path.join(out_dir, f))
+        else:
+            raise FileExistsError(
+                f"{out_dir} already holds {len(stale)} WARC part "
+                "file(s); pass mode='overwrite' to replace them "
+                "(stale parts from a wider previous run would "
+                "otherwise merge into this dataset)")
+    # Arrow hands the kernel tz-NAIVE session-local timestamps; ship
+    # the session zone so WARC-Date is correct under any session tz
+    session_tz = pages.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC")
 
     def _write(batches):
         import gzip
+        from zoneinfo import ZoneInfo
 
         from pyspark import TaskContext
+        naive_tz = (_dt.timezone.utc if session_tz == "UTC"
+                    else ZoneInfo(session_tz))
         pid = TaskContext.get().partitionId()
         name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
         path = os.path.join(out_dir, name)
@@ -139,7 +183,8 @@ def write_warc(pages: DataFrame, out_dir: str,
                     ts = ts.to_pydatetime() if hasattr(
                         ts, "to_pydatetime") else ts
                     f.write(format_response_record(
-                        url, ts, bytes(html), lang))
+                        url, ts, bytes(html), lang,
+                        naive_tz=naive_tz))
                     n += 1
         yield pd.DataFrame({"file": [path], "n_records": [n]})
 
@@ -149,28 +194,34 @@ def write_warc(pages: DataFrame, out_dir: str,
     return sorted(r["file"] for r in written)
 
 
-def parse_warc_bytes(data: bytes):
+def parse_warc_stream(f):
     """Iterate (url, warc_date, html_bytes, lang) over one WARC
-    file's response records.  Content-Length framing: the payload is
-    sliced, never searched, so html containing ``WARC/1.0`` or CRLF
-    pairs round-trips exactly.  Non-response records (warcinfo,
-    request, metadata) are skipped."""
-    o = 0
+    stream's response records, reading INCREMENTALLY from a
+    file-like object — peak memory is one record's payload, never
+    the whole decompressed archive.  Content-Length framing: the
+    payload is read by length, never searched, so html containing
+    ``WARC/1.0`` or CRLF pairs round-trips exactly.  Non-response
+    records (warcinfo, request, metadata) are skipped."""
     while True:
-        i = data.find(b"WARC/", o)
-        if i < 0:
+        line = f.readline()
+        if not line:
             return
-        he = data.find(b"\r\n\r\n", i)
-        if he < 0:
-            return
+        if not line.startswith(b"WARC/"):
+            continue  # inter-record CRLF padding or garbage
         hdrs = {}
-        for ln in data[i:he].decode("utf-8", "replace").split("\r\n")[1:]:
-            if ":" in ln:
-                k, v = ln.split(":", 1)
-                hdrs[k.strip().lower()] = v.strip()
-        clen = int(hdrs.get("content-length", "0"))
-        payload = data[he + 4:he + 4 + clen]
-        o = he + 4 + clen
+        while True:
+            ln = f.readline()
+            if not ln or ln in (b"\r\n", b"\n"):
+                break
+            if b":" in ln:
+                k, v = ln.split(b":", 1)
+                hdrs[k.strip().lower().decode("utf-8", "replace")] = \
+                    v.strip().decode("utf-8", "replace")
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        payload = f.read(clen)
         if hdrs.get("warc-type", "").lower() != "response":
             continue
         if payload[:5] == b"HTTP/":
@@ -183,39 +234,66 @@ def parse_warc_bytes(data: bytes):
                hdrs.get("warc-identified-content-language", ""))
 
 
+def parse_warc_bytes(data: bytes):
+    """In-memory twin of :func:`parse_warc_stream`."""
+    import io
+    yield from parse_warc_stream(io.BytesIO(data))
+
+
+def parse_warc_date(s: str) -> _dt.datetime | None:
+    """Tolerant WARC-Date parse -> aware-UTC datetime, or None.
+
+    Accepts WARC/1.0 second-granular dates AND WARC/1.1 fractional
+    seconds (common in real Common Crawl archives), with 'Z' or a
+    numeric offset.  A missing or unparseable date yields None (a
+    null warc_ts column value) instead of killing the scan task."""
+    if not s:
+        return None
+    try:
+        dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.astimezone(_dt.timezone.utc)
+
+
 def warc_pages(spark: SparkSession, path: str) -> DataFrame:
     """WARC files -> web_pages DataFrame (input_hint schema).
 
     One task per file (binaryFile is unsplittable); text is
     re-extracted from the html payload byte-for-byte per the
-    extraction invariant."""
+    extraction invariant.  Each file parses as a STREAM (gzip
+    decompressed incrementally) and yields its own Arrow batch, so a
+    task's peak memory is one file's parsed rows — not the whole
+    batch of files plus their decompressed bytes."""
     files = (spark.read.format("binaryFile")
              .load(path).select("content"))
 
     def _parse(batches):
         import gzip
+        import io
         for pdf in batches:
-            urls, tss, htmls, texts, langs = [], [], [], [], []
             for content in pdf["content"]:
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":  # .warc.gz member(s)
-                    data = gzip.decompress(data)
-                for url, ts, html, lang in parse_warc_bytes(data):
-                    dt = _dt.datetime.strptime(
-                        ts, _DATE_FMT).replace(tzinfo=_dt.timezone.utc)
+                raw = io.BytesIO(bytes(content))
+                stream = (gzip.GzipFile(fileobj=raw)
+                          if bytes(content)[:2] == b"\x1f\x8b"
+                          else raw)
+                urls, tss, htmls, texts, langs = [], [], [], [], []
+                for url, ts, html, lang in parse_warc_stream(stream):
                     urls.append(url)
-                    tss.append(dt)
+                    tss.append(parse_warc_date(ts))
                     htmls.append(html)
                     texts.append(extract_text_bytes(html)
                                  .decode("utf-8", "replace"))
                     langs.append(lang)
-            yield pd.DataFrame({
-                "url": pd.Series(urls, dtype=object),
-                "warc_ts": pd.Series(tss,
-                                     dtype="datetime64[ns, UTC]"),
-                "html": pd.Series(htmls, dtype=object),
-                "text": pd.Series(texts, dtype=object),
-                "lang": pd.Series(langs, dtype=object),
-            })
+                yield pd.DataFrame({
+                    "url": pd.Series(urls, dtype=object),
+                    "warc_ts": pd.Series(tss,
+                                         dtype="datetime64[ns, UTC]"),
+                    "html": pd.Series(htmls, dtype=object),
+                    "text": pd.Series(texts, dtype=object),
+                    "lang": pd.Series(langs, dtype=object),
+                })
 
-    return files.mapInPandas(_parse, schema=WEB_PAGES_SCHEMA)
+    return files.mapInPandas(_parse, schema=_WARC_PAGES_SCHEMA)

@@ -259,3 +259,12 @@ def test_incremental_probe_broadcasts_batch_only(spark, small_docs,
         while j < len(lines) and indent(lines[j]) > d:
             assert not is_store_scan(lines[j]), lines[j]
             j += 1
+
+
+def test_remove_dup_spans_rejects_noop_min_count(spark, small_docs):
+    """min_count < 2 cannot change the output (first occurrences are
+    always kept) — rejected loudly instead of silently acting as 2."""
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.remove_dup_spans(small_docs, n=4, min_count=1)
