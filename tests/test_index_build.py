@@ -86,3 +86,87 @@ def test_parallelism_invariance(spark, pages_df, tmp_path, reader):
     build_index(spark, repartitioned, out, n_chunks=2, n_buckets=8)
     assert (_postings_fingerprint(spark, out)
             == _postings_fingerprint(spark, reader.paths.out_dir))
+
+
+def _reader_view(spark, out):
+    """Everything a reader resolves from one snapshot: scoring
+    scalars, the pinned chunk set, and an actual query result."""
+    from rechercheinfoweb_spark.operators.query_vector import (
+        IndexReader, vector_topk,
+    )
+    r = IndexReader(spark, out)
+    top = [(row["doc_id"], row["score"]) for row in
+           vector_topk(spark, r, "search engine ranking",
+                       "bm25", k=10).collect()]
+    return {"n_docs": r.n_docs, "max_chunk": r.max_chunk,
+            "salt_map": r.salt_map, "avgdl": r.avgdl,
+            "vocabulary": r.vocabulary, "topk": top}
+
+
+def test_finalize_crash_publishes_atomically(spark, pages_df,
+                                             tmp_path, monkeypatch):
+    """A crash at ANY point inside finalize_index leaves readers on
+    the previous fully-consistent (dictionary, registry, stats)
+    snapshot — never new df values against old postings pins.  The
+    live corpus_stats write is the single commit point."""
+    from rechercheinfoweb_spark.operators import index_build
+    from rechercheinfoweb_spark.streaming.incremental import (
+        append_batch, refresh,
+    )
+    from rechercheinfoweb_spark.sources.web_pages import \
+        synthetic_web_pages
+
+    out = str(tmp_path / "idx")
+    build_index(spark, pages_df, out, n_chunks=2, n_buckets=4)
+    before = _reader_view(spark, out)
+
+    extra = synthetic_web_pages(spark, 40).withColumn(
+        "url", F.concat(F.lit("http://batch2/"), F.col("url")))
+    assert append_batch(spark, extra, out, batch_id=1,
+                        n_buckets=4)["n_docs"] == 40
+    # appended but unpublished: readers still see the old snapshot
+    assert _reader_view(spark, out) == before
+
+    real_stats = index_build._write_corpus_stats
+    live = index_build.IndexPaths(out).corpus_stats
+
+    def crash_at_commit(path, **values):
+        if path == live:
+            raise RuntimeError("injected failure: crash at commit")
+        real_stats(path, **values)
+
+    # scenario A: crash at the live-commit point — versioned
+    # dictionary/registry/stats for v2 are already on disk
+    monkeypatch.setattr(index_build, "_write_corpus_stats",
+                        crash_at_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        refresh(spark, out)
+    assert _reader_view(spark, out) == before
+
+    # scenario B: crash EARLIER, while writing the versioned registry
+    monkeypatch.setattr(index_build, "_write_corpus_stats", real_stats)
+    real_reg = index_build.write_registry
+
+    def crash_at_registry(path, rows):
+        if ".v" in os.path.basename(path):
+            raise RuntimeError("injected failure: crash at registry")
+        real_reg(path, rows)
+
+    import os
+    monkeypatch.setattr(index_build, "write_registry",
+                        crash_at_registry)
+    with pytest.raises(RuntimeError, match="injected"):
+        refresh(spark, out)
+    assert _reader_view(spark, out) == before
+
+    # recovery: a clean re-run publishes everything at once
+    monkeypatch.setattr(index_build, "write_registry", real_reg)
+    refresh(spark, out)
+    after = _reader_view(spark, out)
+    assert after["n_docs"] == before["n_docs"] + 40
+    assert after["max_chunk"] > before["max_chunk"]
+    # the crashed attempts' orphaned version dirs were skipped, not
+    # reused: the published version is strictly newer than all of them
+    import pyarrow.parquet as pq
+    stats = pq.read_table(live).to_pylist()[0]
+    assert stats["dict_version"] >= 4
