@@ -663,6 +663,83 @@ def _dup_cov_kernel(ns: tuple[int, ...]):
     return kern
 
 
+def _gopher_rep_kernel(top_ns: tuple[int, ...],
+                       dup_ns: tuple[int, ...]):
+    """pandas UDF: token array → ALL A1.1 repetition numerators in
+    one pass — [top-n chars per n in ``top_ns``] + [dup-n coverage
+    chars per n in ``dup_ns``], raw LONGs (fractions stay JVM-side).
+
+    EXACT and single-factorization: tokens are np.unique'd ONCE per
+    doc; every longer gram id derives incrementally from the previous
+    length's ids (gram_n(i) ≡ (gram_{n-1}(i), token(i+n-1)), pair-
+    encoded into one int64 < T·V), so each n costs one 1-D integer
+    unique + bincount instead of the former per-n row-wise
+    np.unique(axis=0) over a (G, n) matrix or a JVM string-array
+    sort.  Replaces six dup-n kernel passes plus three top-n sorted-
+    run folds with ONE kernel call (the r3 bench's costliest per-doc
+    kernel at 42.8 s / 24%% of total).
+
+    Semantics pinned by the ts_gopher_rep DuckDB oracle and the
+    brute-force pytest twin: top-n = count × token-chars of the most
+    frequent n-gram, ties broken by the lexicographically smallest
+    space-joined gram; dup-n = chars of tokens covered by any
+    duplicated n-gram occurrence, overlap-aware."""
+    import numpy as np
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    top_set, dup_set = set(top_ns), set(dup_ns)
+
+    @F.pandas_udf("array<long>")
+    def kern(tok_arrays: pd.Series) -> pd.Series:
+        def per(toks) -> list[int]:
+            toks = list(toks)
+            T = len(toks)
+            out: dict[tuple[str, int], int] = {}
+            for n in top_ns:
+                out[("t", n)] = 0
+            for n in dup_ns:
+                out[("d", n)] = 0
+            if T >= 2:
+                lens = np.array([len(t) for t in toks],
+                                dtype=np.int64)
+                _u, ids = np.unique(toks, return_inverse=True)
+                ids = ids.astype(np.int64)
+                V = len(_u)
+                gram_ids = ids  # ids of length-1 grams, one per start
+                for n in range(2, all_ns[-1] + 1):
+                    G = T - n + 1
+                    if G < 1:
+                        break
+                    keys = gram_ids[:G] * V + ids[n - 1:]
+                    _uk, first, gram_ids = np.unique(
+                        keys, return_index=True, return_inverse=True)
+                    counts = np.bincount(gram_ids)
+                    if n in top_set:
+                        mx = int(counts.max())
+                        cand = first[counts == mx]
+                        best = min(" ".join(toks[s:s + n])
+                                   for s in cand)
+                        out[("t", n)] = mx * (len(best) - (n - 1))
+                    if n in dup_set:
+                        starts = counts[gram_ids] >= 2
+                        if starts.any():
+                            ps = np.concatenate(
+                                ([0], np.cumsum(starts)))
+                            t = np.arange(T)
+                            lo = np.maximum(t - n + 1, 0)
+                            hi = np.minimum(t, G - 1)
+                            cov = (hi >= lo) & (ps[hi + 1] - ps[lo] > 0)
+                            out[("d", n)] = int(lens[cov].sum())
+            elif T == 1:
+                pass  # no n>=2 gram exists; every numerator is 0
+            return ([out[("t", n)] for n in top_ns]
+                    + [out[("d", n)] for n in dup_ns])
+
+        return tok_arrays.map(per)
+
+    return kern
+
+
 def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
     """Per-doc Gopher A1.1 n-gram repetition features + composite
     ``rep_keep`` gate (1 = under every threshold):
@@ -673,33 +750,35 @@ def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
         any duplicated n-gram, overlap-aware
 
     Complements :func:`repetition_stats` (line-level features).
-    One map-side projection (top-n = JVM sorted-run folds, dup-n =
-    one exact Arrow kernel call for all six n — pinned equal to the
-    pure-Catalyst reference column in tests); fractions rounded to
-    6 JVM-side."""
+    One map-side projection: ALL nine numerators come from a single
+    Arrow kernel pass (:func:`_gopher_rep_kernel` — pinned equal to
+    the pure-Catalyst/first-kernel reference implementations in
+    tests); fractions rounded to 6 JVM-side."""
     toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
     toks = F.col("_toks")
     tot = _tok_chars_col(toks)
     den = F.greatest(tot, F.lit(1)).cast("double")
-    ns = tuple(GOPHER_DUP_NGRAM_MAX)
-    kern = _dup_cov_kernel(ns)
-    toked = toked.withColumn("_cov", kern("_toks"))
+    top_ns = tuple(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = tuple(GOPHER_DUP_NGRAM_MAX)
+    kern = _gopher_rep_kernel(top_ns, dup_ns)
+    toked = toked.withColumn("_rep", kern("_toks"))
     cols, keeps = [], []
-    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
-        grams = ngrams_of_tokens(toks, n)
-        c = F.round(_top_gram_chars_col(grams, n) / den, 6)
+    for idx, (n, mx) in enumerate(GOPHER_TOP_NGRAM_MAX.items()):
+        c = F.round(
+            F.element_at("_rep", idx + 1).cast("long") / den, 6)
         name = f"top{n}gram_char_frac"
         cols.append(c.alias(name))
-        keeps.append((name, "<=", mx))
+        keeps.append((name, mx))
+    off = len(top_ns)
     for idx, (n, mx) in enumerate(GOPHER_DUP_NGRAM_MAX.items()):
         c = F.round(
-            F.element_at("_cov", idx + 1).cast("long") / den, 6)
+            F.element_at("_rep", off + idx + 1).cast("long") / den, 6)
         name = f"dup{n}gram_char_frac"
         cols.append(c.alias(name))
-        keeps.append((name, "<=", mx))
+        keeps.append((name, mx))
     out = toked.select("doc_id", *cols)
     keep = None
-    for name, _op, mx in keeps:
+    for name, mx in keeps:
         cond = F.col(name) <= mx
         keep = cond if keep is None else (keep & cond)
     return out.withColumn("rep_keep", keep.cast("int"))

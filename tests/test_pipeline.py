@@ -1090,3 +1090,44 @@ def test_dup_cov_kernel_equals_catalyst_reference(spark):
     want = {r["doc_id"]: [r[f"c{n}"] for n in ns]
             for r in toked.select("doc_id", *ref_cols).collect()}
     assert got == want
+
+
+def test_gopher_rep_kernel_equals_references(spark):
+    """The unified one-pass kernel (r4: one factorization, all nine
+    numerators) == the per-n reference implementations — the JVM
+    top-gram sorted-run fold and the first-generation dup-coverage
+    kernel — on adversarial random docs from a tiny vocabulary
+    (forcing repeats, ties, and tie-broken tied counts)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rechercheinfoweb_spark.operators.textstats import (
+        _top_gram_chars_col, lower_tokens_col, ngrams_of_tokens,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "ab", "ba", "aa", "longword", "x9"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(60)]
+    rows += [(100 + i, t) for i, (_d, t) in enumerate(REP_ROWS)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
+    toks = F.col("_toks")
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    kern = textstats._gopher_rep_kernel(top_ns, dup_ns)
+    got = {r["doc_id"]: list(r["rep"]) for r in
+           toked.select("doc_id", kern("_toks").alias("rep"))
+           .collect()}
+
+    ref_cols = [
+        _top_gram_chars_col(ngrams_of_tokens(toks, n), n)
+        .alias(f"t{n}") for n in top_ns]
+    dup_kern = textstats._dup_cov_kernel(dup_ns)
+    ref = toked.select("doc_id", *ref_cols,
+                       dup_kern("_toks").alias("cov")).collect()
+    want = {r["doc_id"]: [r[f"t{n}"] for n in top_ns] + list(r["cov"])
+            for r in ref}
+    assert got == want
