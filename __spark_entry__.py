@@ -834,6 +834,21 @@ def _q_gopher(spark, sf_dir):
     return textstats.gopher_quality_stats(_docs(spark, sf_dir))
 
 
+# Blocklist for the pp_badwords contract slice: "batch" hits ~80% of
+# the synthetic docs (reject path), "gradient" never occurs, so both
+# paths are exercised; the mechanism is C4 §2.2's page-level
+# blocklist rule with a caller-supplied list.
+PP_BADWORDS = ["batch", "gradient"]
+
+
+def _q_badwords(spark, sf_dir):
+    """C4 bad-words page rule: per-doc blocklist word hits + keep
+    flag — lowercased whitespace words, leading/trailing punctuation
+    stripped, blocklist folded into the plan as a literal array (one
+    map-side projection, zero shuffles)."""
+    return pipeline.badwords_stats(_docs(spark, sf_dir), PP_BADWORDS)
+
+
 def _q_c4_clean(spark, sf_dir):
     """C4 page-cleaning rules (Raffel et al. 2020 §2.2): keep lines
     ending in terminal punctuation with >=5 words and no
@@ -1938,9 +1953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_incremental_pairs": _q_incremental_pairs,
         "pp_clean": _q_pipeline_clean,
         "pp_decontaminate": _q_decontaminate,
-        "pp_mix": _q_mix,
+        "pp_badwords": _q_badwords,  # new in r4 — needs a driver row
         "src_warc_roundtrip": _q_warc_roundtrip,
         # --- past the driver window; all have green CORRECTNESS_r03 rows ---
+        "pp_mix": _q_mix,
         "ft_doc_token_counts": _q_doc_token_counts,
         "ft_top_terms": _q_top_terms,
         "ts_fingerprint": _q_fingerprint,
@@ -2708,6 +2724,25 @@ def oracle_sql() -> dict[str, str]:
         # C4 rules: same trimmed-line split, kept-line regexes, and
         # sentence-end count; page gates on the RAW text (paper
         # wording: "any page that contained")
+        # C4 bad-words rule: identical word split, punctuation strip,
+        # and blocklist; 'g' flag = replace-all like Spark's
+        # regexp_replace
+        "pp_badwords": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       x -> regexp_replace(lower(x),
+                            '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')) AS ws
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(ws, x -> list_contains(
+                       [{', '.join(repr(b) for b in sorted(set(PP_BADWORDS)))}], x)))
+                     AS BIGINT) AS bad_hits,
+                   CASE WHEN len(list_filter(ws, x -> list_contains(
+                       [{', '.join(repr(b) for b in sorted(set(PP_BADWORDS)))}], x))) = 0
+                        THEN 1 ELSE 0 END AS bad_keep
+            FROM w""",
         "pp_c4_clean": f"""
             WITH c4d AS (
               SELECT doc_id,

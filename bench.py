@@ -153,8 +153,14 @@ def main() -> None:
     from rechercheinfoweb_spark.sources.web_pages import (
         synthetic_web_pages,
     )
+    # enrich_hosts=10: ~10% of docs (ten contiguous doc-id runs)
+    # carry the Gopher required stopwords + a clustered selective
+    # term, so the quality gates measure the KEEP path and the main
+    # index has genuinely skewed block maxima (both were structurally
+    # zero on the pure-Zipf corpus — r3 verdict item 6)
     with timed("corpus_gen"):
-        pages = synthetic_web_pages(spark, n_corpus).persist()
+        pages = synthetic_web_pages(spark, n_corpus,
+                                    enrich_hosts=10).persist()
         pages.count()
     extra["n_corpus_docs"] = n_corpus
     extra["corpus_text_bytes"] = int(pages.agg(
@@ -218,8 +224,13 @@ def main() -> None:
     sc = spark.sparkContext
     counters = {"blocks_total": sc.accumulator(0),
                 "blocks_scored": sc.accumulator(0)}
+    # the 4th query mixes common terms with the enriched corpus's
+    # clustered selective term: its block maxima vary across the id
+    # space, so block-max WAND can clear blocks on the MAIN index
+    # (the first three stay all-common — their skip share is ~0)
     bench_queries = ("search engine ranking", "Spark shuffle partition",
-                     "varint delta BM25 WAND")
+                     "varint delta BM25 WAND",
+                     "blockmax thetacut ranking")
     # untimed warm pass over the SAME terms: the wand/nopruning/auto
     # trio must compare ALGORITHMS on a warm decoded-postings cache,
     # not charge the first entry the one-time varint decode (serving
@@ -533,15 +544,27 @@ def main() -> None:
         _t = F.replace(_t, F.lit(" slow "), F.lit(" javascript "))
         extra["c4_survivors"] = pipeline.c4_clean(
             docs.select("doc_id", _t.alias("text"))).count()
-    # Gopher A1 quality gate: same shape (map-side, zero shuffles)
+    # Gopher A1 quality gate over the MAIN bench corpus (map-side,
+    # zero shuffles): the enriched hosts carry the required
+    # stopwords, so both the keep AND reject paths are measured
+    # (survivors were structurally 0 on the pure-Zipf docs table)
     with timed("gopher_filter"):
         from rechercheinfoweb_spark.operators import textstats as _ts
-        extra["gopher_survivors"] = _ts.gopher_filter(docs).count()
-    # Gopher A1.1 full n-gram repetition table: per-doc folds, one
-    # scan, zero shuffles (the 6 dup-n coverage features dominate)
+        # read the corpus parquet (written for the snippets entry)
+        # rather than regenerating pages — the gate should measure a
+        # production table scan, not the synthetic generator
+        corpus_docs = (spark.read.parquet(corpus_dir)
+                       .select(F.xxhash64("url").alias("doc_id"),
+                               "text"))
+        extra["gopher_survivors"] = \
+            _ts.gopher_filter(corpus_docs).count()
+        extra["gopher_rejects"] = n_corpus - extra["gopher_survivors"]
+    # Gopher A1.1 full n-gram repetition table: ONE Arrow kernel pass
+    # for all nine numerators (r4 rewrite), zero shuffles — over the
+    # same main corpus as the A1 gate
     with timed("gopher_repetition"):
         extra["gopher_rep_survivors"] = \
-            _ts.gopher_repetition_filter(docs).count()
+            _ts.gopher_repetition_filter(corpus_docs).count()
     # BPE: 40 merge rounds on the word table (one corpus scan up
     # front, O(vocab) per round), then Arrow-batched piece counts
     # over the FULL table

@@ -972,3 +972,45 @@ def c4_clean(docs: DataFrame,
                     F.size("_kept").cast("long").alias("n_kept"),
                     F.col("_nsent").cast("long").alias("n_sent"),
                     F.col("_clean").alias("text_clean")))
+
+
+def badwords_stats(docs: DataFrame, badwords: list[str],
+                   id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """(*id_cols, bad_hits, bad_keep) — C4's remaining page rule
+    (Raffel et al. 2020 §2.2): a page is removed if ANY word on a
+    blocklist appears in it.  The paper uses the public "List of
+    Dirty, Naughty, Obscene..." list; the list is caller-supplied
+    here (policy), the operator is the mechanism.  Matching is on
+    lowercased whitespace words with leading/trailing punctuation
+    stripped (so "Word." matches "word"), per the list's usage.
+
+    ``bad_hits`` counts matching WORDS (not distinct list entries);
+    ``bad_keep`` is 1 iff no hit.  Scale shape: the blocklist (a few
+    hundred entries) folds into a literal array in the plan — one
+    map-side projection, zero shuffles, whole-stage codegen, streams
+    as-is; at 10^12 docs the scan is the only cost."""
+    if not badwords:
+        raise ValueError("badwords list must be non-empty")
+    bw = F.array(*[F.lit(w.lower()) for w in sorted(set(badwords))])
+    words = F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.regexp_replace(
+            F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""))
+    hits = F.size(F.filter(words, lambda w: F.array_contains(bw, w)))
+    return docs.select(
+        *id_cols, hits.cast("long").alias("bad_hits"),
+        (hits == 0).cast("int").alias("bad_keep"))
+
+
+def badwords_filter(docs: DataFrame, badwords: list[str]) -> DataFrame:
+    """Pages with zero blocklist hits — same map-side predicate,
+    composable with the other C4 rules on batch or streaming input."""
+    if not badwords:
+        raise ValueError("badwords list must be non-empty")
+    bw = F.array(*[F.lit(w.lower()) for w in sorted(set(badwords))])
+    words = F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.regexp_replace(
+            F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""))
+    return docs.where(
+        ~F.exists(words, lambda w: F.array_contains(bw, w)))

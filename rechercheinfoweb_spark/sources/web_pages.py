@@ -66,6 +66,19 @@ _BASE_VOCAB = [
 ]
 _HOT_TERMS = ["webpage", "content", "information"]  # df ≈ N (skew)
 
+# Appended to every doc of an ENRICHED host (synthetic_web_pages
+# enrich_hosts > 0): carries all 8 Gopher required stopwords (so the
+# quality gate's KEEP path is reachable on synthetic data — the Zipf
+# vocabulary alone has none) plus a selective topic term with tf 3.
+# Because urls sort by host, an enriched host's docs occupy a
+# CONTIGUOUS doc-id run (~n/97 docs), so the topic term's block
+# maxima are genuinely skewed across the id space — the shape
+# block-max WAND needs to clear blocks on the main bench corpus.
+_ENRICH_WORDS = ("the results must be sent to each of the replicas "
+                 "and we verified that both copies have converged "
+                 "with quorum blockmax pruning skips blockmax "
+                 "thetacut blocks blockmax thetacut").split()
+
 
 def _vocab_and_probs(vocab_size: int = 2000) -> tuple[list[str], np.ndarray]:
     vocab = list(_BASE_VOCAB)
@@ -120,7 +133,8 @@ def synthetic_web_pages(spark: SparkSession, n_docs: int,
                         seed: int = 42, partitions: int | None = None,
                         tokens_lo: int = 20, tokens_hi: int = 500,
                         vocab_size: int = 2000,
-                        with_links: bool = False) -> DataFrame:
+                        with_links: bool = False,
+                        enrich_hosts: int = 0) -> DataFrame:
     """Deterministic synthetic corpus as a DataFrame.
 
     Generation is distributed for large *n_docs*: each Spark task
@@ -134,6 +148,14 @@ def synthetic_web_pages(spark: SparkSession, n_docs: int,
     ids and index bytes are identical with or without links, and the
     extraction invariant still holds (:func:`extracted_text` strips
     the nav).
+
+    ``enrich_hosts=k`` appends ``_ENRICH_WORDS`` (Gopher required
+    stopwords + a clustered selective topic term) to every doc whose
+    host bucket is < k — i.e. k/97 of docs, each host a contiguous
+    doc-id run.  Default 0 keeps all existing goldens byte-identical;
+    the bench passes 10 so quality-gate keep paths and main-corpus
+    WAND block skips are measurable (both were structurally zero on
+    the pure-Zipf corpus).
     """
     parts = partitions or max(2, n_docs // 2000)
     rng_ids = spark.range(0, n_docs, numPartitions=parts)
@@ -152,6 +174,8 @@ def synthetic_web_pages(spark: SparkSession, n_docs: int,
                     len(vocab_arr), size=length, p=probs)])
                 for h in _HOT_TERMS:
                     words.insert(int(rng.integers(0, len(words) + 1)), h)
+                if (i % 97) < enrich_hosts:
+                    words += _ENRICH_WORDS
                 text = " ".join(words)
                 nav = b""
                 if with_links:

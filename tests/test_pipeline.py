@@ -1131,3 +1131,43 @@ def test_gopher_rep_kernel_equals_references(spark):
     want = {r["doc_id"]: [r[f"t{n}"] for n in top_ns] + list(r["cov"])
             for r in ref}
     assert got == want
+
+
+def test_badwords_brute_force_and_plan(spark):
+    """badwords_stats/filter == pure-Python twin (lowercase, strip
+    edge punctuation, any-hit drops the page); the plan is one
+    map-side projection (zero Exchange)."""
+    import re
+
+    import pytest
+
+    rows = [
+        (1, "Clean prose with nothing flagged at all"),
+        (2, "the BadWord appears here"),
+        (3, 'punctuated "badword!" still matches'),
+        (4, "embedded notbadword does not match"),
+        (5, ""),
+        (6, "badword badword twice, and Other."),
+    ]
+    bl = ["badword", "other"]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def strip(w):
+        return re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w.lower())
+
+    exp = {}
+    for did, t in rows:
+        ws = [strip(w) for w in re.split(r"\s+", t.strip())]
+        hits = sum(1 for w in ws if w in bl)
+        exp[did] = (hits, int(hits == 0))
+    got = {r["doc_id"]: (r["bad_hits"], r["bad_keep"]) for r in
+           pipeline.badwords_stats(docs, bl).collect()}
+    assert got == exp
+    kept = sorted(r["doc_id"] for r in
+                  pipeline.badwords_filter(docs, bl).collect())
+    assert kept == sorted(d for d, (h, k) in exp.items() if k == 1)
+    plan = pipeline.badwords_stats(docs, bl)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="non-empty"):
+        pipeline.badwords_filter(docs, [])
