@@ -411,31 +411,36 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
 ELLIPSIS_RE = r"(\.\.\.|…)"
 
 
-def _gopher_feature_cols(col: str = "text") -> dict[str, Column]:
-    """The Gopher A1 features as named column expressions (floats
-    pre-rounded to 6 — the gate thresholds compare the ROUNDED
-    values, so stats, filter, and oracle agree bit-for-bit)."""
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+def _gopher_features_from(col, words: Column, lines: Column,
+                          toks: Column) -> dict[str, Column]:
+    """The Gopher A1 features over EXPLICIT word/line/token array
+    columns (floats pre-rounded to 6 — the gate thresholds compare
+    the ROUNDED values, so stats, filter, and oracle agree
+    bit-for-bit).  The gate operators project the three arrays ONCE
+    and pass references; :func:`gopher_keep_col` passes the inline
+    expressions for its single-Column streaming contract."""
     n_words = F.size(words).cast("long")
     wdiv = F.greatest(n_words, F.lit(1)).cast("double")
-    zero = F.lit(0).cast("long")
+    # total word chars as one native concat+length — same integer
+    # sum as a per-word fold, without the interpreted lambda
     mean_wl = F.round(
-        F.aggregate(words, zero,
-                    lambda a, w: a + F.length(w).cast("long")) / wdiv, 6)
+        F.length(F.array_join(words, "")).cast("long") / wdiv, 6)
     n_hash = (F.length(col)
-              - F.length(F.replace(col, F.lit("#"), F.lit(""))))
+              - F.length(F.replace(F.col(col) if isinstance(col, str)
+                                   else col, F.lit("#"), F.lit(""))))
     n_ell = F.size(F.regexp_extract_all(col, F.lit(ELLIPSIS_RE), 0))
-    lines = _lines_col(col)
     ldiv = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet = F.size(F.filter(
         lines, lambda l: l.rlike(r"^[•\-\*]")))
     ell_end = F.size(F.filter(
         lines, lambda l: l.rlike(ELLIPSIS_RE + "$")))
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    toks = lower_tokens_col(col)
-    stop_hits = F.size(F.filter(
+    # distinct required stopwords present — array_intersect touches
+    # the token array ONCE (the old per-stopword array_contains fold
+    # re-evaluated an inline toks expression 8x per row)
+    stop_hits = F.size(F.array_intersect(
         F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        lambda s: F.array_contains(toks, s))).cast("long")
+        toks)).cast("long")
     return {
         "n_words": n_words,
         "mean_word_len": mean_wl,
@@ -446,6 +451,23 @@ def _gopher_feature_cols(col: str = "text") -> dict[str, Column]:
         "alpha_word_frac": F.round(alpha / wdiv, 6),
         "stop_hits": stop_hits,
     }
+
+
+def _gopher_words_col(col: str = "text") -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def _gopher_feature_cols(col: str = "text") -> dict[str, Column]:
+    """Inline-expression variant (one self-contained Column per
+    feature) — used by :func:`gopher_keep_col`, whose contract is a
+    single composable boolean Column.  The gate OPERATORS use the
+    shared-array projection instead: evaluating these inline trees
+    once per feature re-splits/re-tokenizes the text several times
+    per row (higher-order exprs run interpreted, no CSE — measured
+    8x slower on page-sized docs)."""
+    return _gopher_features_from(col, _gopher_words_col(col),
+                                 _lines_col(col),
+                                 lower_tokens_col(col))
 
 
 def _gopher_keep_expr(f) -> Column:
@@ -478,9 +500,21 @@ def gopher_quality_stats(docs: DataFrame) -> DataFrame:
         appear as tokens
 
     Floats rounded to 6 (oracle convention); zero-word / zero-line
-    docs get 0 features and fail the gate on the word-count rule."""
-    feats = _gopher_feature_cols()
-    out = docs.select("doc_id",
+    docs get 0 features and fail the gate on the word-count rule.
+
+    Two chained projections: the word/line/token arrays materialize
+    ONCE, then every feature references them (the alias is used more
+    than once, so CollapseProject keeps the stage split and the
+    arrays are genuinely shared — inlining the array expressions
+    into each feature re-splits the text several times per row,
+    measured 8x slower on page-sized docs)."""
+    base = docs.select("doc_id", "text",
+                       _gopher_words_col().alias("_w"),
+                       _lines_col().alias("_l"),
+                       lower_tokens_col().alias("_t"))
+    feats = _gopher_features_from("text", F.col("_w"), F.col("_l"),
+                                  F.col("_t"))
+    out = base.select("doc_id",
                       *[c.alias(n) for n, c in feats.items()])
     return out.withColumn("keep", _gopher_keep_expr(F.col).cast("int"))
 
@@ -488,15 +522,32 @@ def gopher_quality_stats(docs: DataFrame) -> DataFrame:
 def gopher_keep_col(col: str = "text") -> Column:
     """The Gopher gate as ONE boolean column expression — usable on
     any (batch or streaming) DataFrame with a text column; pinned
-    equal to ``gopher_quality_stats``'s keep in tests."""
+    equal to ``gopher_quality_stats``'s keep in tests.  Convenient
+    for composing into an existing predicate, but the inline
+    expression trees re-derive the arrays per feature — for a plain
+    batch/streaming filter prefer :func:`gopher_filter`, which
+    shares them."""
     feats = _gopher_feature_cols(col)
     return _gopher_keep_expr(lambda n: feats[n])
 
 
 def gopher_filter(docs: DataFrame) -> DataFrame:
-    """Docs surviving every Gopher A1 quality rule — a pure map-side
-    predicate (no join, no shuffle; works on streaming input too)."""
-    return docs.where(gopher_keep_col())
+    """Docs surviving every Gopher A1 quality rule — map-side only
+    (no join, no shuffle; works on streaming input too).  Same
+    shared-array projection as :func:`gopher_quality_stats`; the
+    helper columns are dropped after the gate, so the output schema
+    is exactly the input schema."""
+    cols = docs.columns
+    base = docs.select(*cols,
+                       _gopher_words_col().alias("_w"),
+                       _lines_col().alias("_l"),
+                       lower_tokens_col().alias("_t"))
+    feats = _gopher_features_from("text", F.col("_w"), F.col("_l"),
+                                  F.col("_t"))
+    gated = base.select(*cols,
+                        _gopher_keep_expr(lambda n: feats[n])
+                        .alias("_keep"))
+    return gated.where(F.col("_keep")).select(*cols)
 
 
 # ---- Gopher A1.1 full repetition table -------------------------------
