@@ -841,6 +841,28 @@ def _q_gopher(spark, sf_dir):
 PP_BADWORDS = ["batch", "gradient"]
 
 
+# URL-filter contract slice: 'src2' blocks a whole source's pages
+# (domain rule incl. would-be subdomains), '7' as a banned URL word
+# hits every doc id containing the digit (substring rule).
+PP_URL_BLOCKED = ["src2"]
+PP_URL_BANNED = ["7"]
+
+
+def _q_url_filter(spark, sf_dir):
+    """RefinedWeb §3.1 URL curation: host extraction + domain
+    blocklist (suffix match on dot boundaries) + banned-word URL
+    scoring, one map-side projection over the URL column only —
+    pages drop before any text is read."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("/", "source", F.col("doc_id").cast("string"))
+         .alias("url"))
+    return pipeline.url_filter_stats(
+        docs, PP_URL_BLOCKED, PP_URL_BANNED).select(
+        "doc_id", "host", "domain_blocked", "url_word_hits",
+        "url_keep")
+
+
 def _q_badwords(spark, sf_dir):
     """C4 bad-words page rule: per-doc blocklist word hits + keep
     flag — lowercased whitespace words, leading/trailing punctuation
@@ -1950,13 +1972,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_pairs": _q_jaccard_pairs,
         "dd_simhash_pairs": _q_simhash_pairs,
         "dd_clusters": _q_clusters,
-        "dd_incremental_pairs": _q_incremental_pairs,
         "pp_clean": _q_pipeline_clean,
         "pp_decontaminate": _q_decontaminate,
-        "pp_badwords": _q_badwords,  # new in r4 — needs a driver row
+        "pp_badwords": _q_badwords,    # new in r4 — needs a driver row
+        "pp_url_filter": _q_url_filter,  # new in r4 — needs a driver row
         "src_warc_roundtrip": _q_warc_roundtrip,
         # --- past the driver window; all have green CORRECTNESS_r03 rows ---
         "pp_mix": _q_mix,
+        "dd_incremental_pairs": _q_incremental_pairs,
         "ft_doc_token_counts": _q_doc_token_counts,
         "ft_top_terms": _q_top_terms,
         "ts_fingerprint": _q_fingerprint,
@@ -2724,6 +2747,39 @@ def oracle_sql() -> dict[str, str]:
         # C4 rules: same trimmed-line split, kept-line regexes, and
         # sentence-end count; page gates on the RAW text (paper
         # wording: "any page that contained")
+        # RefinedWeb URL rules: identical host extraction regexes,
+        # dot-boundary domain suffix match, substring word scoring
+        "pp_url_filter": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     lower(trim(source || '/' || CAST(doc_id AS VARCHAR)))
+                       AS u
+              FROM documents),
+            h AS (
+              SELECT doc_id, u,
+                     regexp_replace(
+                       CASE WHEN regexp_extract(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) = ''
+                            THEN regexp_extract(u, '^([^/]+)', 1)
+                            ELSE regexp_extract(u,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                       END, '^www\\.', '') AS host
+              FROM p),
+            f AS (
+              SELECT doc_id, host,
+                     CASE WHEN {" OR ".join(
+                         f"host = '{d}' OR host LIKE '%.{d}'"
+                         for d in sorted(set(PP_URL_BLOCKED)))}
+                          THEN 1 ELSE 0 END AS domain_blocked,
+                     CAST({" + ".join(
+                         f"CASE WHEN u LIKE '%{w}%' THEN 1 ELSE 0 END"
+                         for w in sorted(set(PP_URL_BANNED)))}
+                       AS BIGINT) AS url_word_hits
+              FROM h)
+            SELECT doc_id, host, domain_blocked, url_word_hits,
+                   CASE WHEN domain_blocked = 0 AND url_word_hits = 0
+                        THEN 1 ELSE 0 END AS url_keep
+            FROM f""",
         # C4 bad-words rule: identical word split, punctuation strip,
         # and blocklist; 'g' flag = replace-all like Spark's
         # regexp_replace

@@ -548,11 +548,20 @@ def main() -> None:
     # zero shuffles): the enriched hosts carry the required
     # stopwords, so both the keep AND reject paths are measured
     # (survivors were structurally 0 on the pure-Zipf docs table)
+    # r3-comparable legs first (same 5k docs-table input as r1-r3 —
+    # the r4 kernel/sharing rewrites show directly in these numbers)
     with timed("gopher_filter"):
         from rechercheinfoweb_spark.operators import textstats as _ts
-        # read the corpus parquet (written for the snippets entry)
-        # rather than regenerating pages — the gate should measure a
-        # production table scan, not the synthetic generator
+        extra["gopher_docs_survivors"] = \
+            _ts.gopher_filter(docs).count()
+    with timed("gopher_repetition"):
+        extra["gopher_rep_docs_survivors"] = \
+            _ts.gopher_repetition_filter(docs).count()
+    # corpus-scale legs: the 10x-larger main bench corpus, whose
+    # enriched hosts carry the required stopwords — the A1 gate
+    # measures BOTH paths (survivors were structurally 0 on the
+    # pure-Zipf docs table), reading the production parquet
+    with timed("gopher_filter_corpus"):
         corpus_docs = (spark.read.parquet(corpus_dir)
                        .select(F.xxhash64("url").alias("doc_id"),
                                "text"))
@@ -562,7 +571,7 @@ def main() -> None:
     # Gopher A1.1 full n-gram repetition table: ONE Arrow kernel pass
     # for all nine numerators (r4 rewrite), zero shuffles — over the
     # same main corpus as the A1 gate
-    with timed("gopher_repetition"):
+    with timed("gopher_repetition_corpus"):
         extra["gopher_rep_survivors"] = \
             _ts.gopher_repetition_filter(corpus_docs).count()
     # BPE: 40 merge rounds on the word table (one corpus scan up

@@ -335,6 +335,72 @@ def canonical_url_col(col: str = "url") -> Column:
     return F.when(scheme == "", u).otherwise(canon)
 
 
+def url_filter_stats(pages: DataFrame,
+                     blocked_domains: list[str] | None = None,
+                     banned_url_words: list[str] | None = None,
+                     url_col: str = "url") -> DataFrame:
+    """(*original columns, host, domain_blocked, url_word_hits,
+    url_keep) — RefinedWeb's URL-level curation stage (Penedo et al.
+    2023 §3.1): pages are dropped BEFORE any text is read when their
+    host is on a domain blocklist or their URL contains banned
+    words.  Both lists are caller-supplied (policy; RefinedWeb uses
+    a 4.6M-domain public blocklist + a weighted word list — the
+    mechanism is identical for a simple word list).
+
+    * ``host``: lowercased authority, scheme/``www.`` stripped —
+      same extraction as :func:`canonical_url_col`.
+    * ``domain_blocked``: host equals a blocked domain OR is a
+      subdomain of one (suffix match on a dot boundary).
+    * ``url_word_hits``: how many banned words occur in the
+      lowercased URL (substring, the RefinedWeb convention).
+    * ``url_keep``: 1 iff neither rule fires.
+
+    Scale shape: both lists fold into the plan as literal arrays
+    (the RefinedWeb-size blocklist would swap in a broadcast join on
+    the same ``host`` key — noted, not needed at list sizes that fit
+    a literal); one map-side projection over the URL column only —
+    parquet never reads text/html for dropped rows when the caller
+    filters before selecting them."""
+    blocked = sorted({d.lower() for d in (blocked_domains or [])})
+    banned = sorted({w.lower() for w in (banned_url_words or [])})
+    u = F.lower(F.trim(F.col(url_col)))
+    host = F.regexp_extract(u, _HOST_RE, 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    # no scheme -> _HOST_RE misses; treat the first path segment as
+    # the authority (crawl tables sometimes store schemeless urls)
+    host = F.when(host == "", F.regexp_extract(u, "^([^/]+)", 1)) \
+        .otherwise(host)
+    if blocked:
+        bl = F.array(*[F.lit(d) for d in blocked])
+        dom_blocked = F.exists(
+            bl, lambda d: (host == d)
+            | host.endswith(F.concat(F.lit("."), d)))
+    else:
+        dom_blocked = F.lit(False)
+    if banned:
+        hits = sum((F.when(u.contains(w), 1).otherwise(0)
+                    for w in banned), F.lit(0))
+    else:
+        hits = F.lit(0)
+    return pages.select(
+        "*", host.alias("host"),
+        dom_blocked.cast("int").alias("domain_blocked"),
+        hits.cast("long").alias("url_word_hits"),
+        (~dom_blocked & (hits == 0)).cast("int").alias("url_keep"))
+
+
+def url_filter(pages: DataFrame,
+               blocked_domains: list[str] | None = None,
+               banned_url_words: list[str] | None = None,
+               url_col: str = "url") -> DataFrame:
+    """Pages surviving the URL rules, original schema — the stage-0
+    gate a crawl pipeline runs before touching any page body."""
+    cols = pages.columns
+    return (url_filter_stats(pages, blocked_domains,
+                             banned_url_words, url_col)
+            .where(F.col("url_keep") == 1).select(*cols))
+
+
 def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Drop crawl-variant rows of the same resource: one survivor
     per canonical URL (min original url — deterministic, engine-

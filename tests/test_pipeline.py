@@ -1171,3 +1171,50 @@ def test_badwords_brute_force_and_plan(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="non-empty"):
         pipeline.badwords_filter(docs, [])
+
+
+def test_url_filter_brute_force_and_plan(spark):
+    """url_filter_stats/url_filter == pure-Python twin: host
+    extraction (scheme or schemeless, www. strip), dot-boundary
+    domain suffix blocking, substring word hits; plan is one
+    map-side projection (zero Exchange)."""
+    import re
+
+    rows = [
+        (1, "https://ads.example.com/page"),        # subdomain block
+        (2, "https://example.com/x"),               # exact block
+        (3, "https://notexample.com/x"),            # NOT a suffix hit
+        (4, "http://www.good.org/casino-night"),    # banned word
+        (5, "good.org/fine"),                       # schemeless, clean
+        (6, "HTTPS://Example.COM:443/x"),           # case + port kept in host
+        (7, "https://ok.net/a?q=CASINO"),           # banned word, upper
+    ]
+    blocked, banned = ["example.com"], ["casino"]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+
+    def twin(url):
+        u = url.strip().lower()
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", u)
+        host = m.group(1) if m else re.match("^([^/]+)", u).group(1)
+        host = re.sub(r"^www\.", "", host)
+        dom = any(host == d or host.endswith("." + d) for d in blocked)
+        hits = sum(1 for w in banned if w in u)
+        return host, int(dom), hits, int(not dom and hits == 0)
+
+    exp = {did: twin(u) for did, u in rows}
+    got = {r["doc_id"]: (r["host"], r["domain_blocked"],
+                         r["url_word_hits"], r["url_keep"])
+           for r in pipeline.url_filter_stats(
+               pages, blocked, banned).collect()}
+    assert got == exp
+    kept = sorted(r["doc_id"] for r in
+                  pipeline.url_filter(pages, blocked, banned).collect())
+    assert kept == sorted(d for d, v in exp.items() if v[3] == 1)
+    # doc 6: ':443' stays in host (this is the raw-gate, not the
+    # canonicalizer) so the exact-match rule does NOT fire
+    assert got[6][1] == 0
+    plan = pipeline.url_filter_stats(pages, blocked, banned)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # empty lists: everything keeps
+    assert pipeline.url_filter(pages).count() == len(rows)
