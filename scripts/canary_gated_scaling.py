@@ -71,9 +71,13 @@ def healthy(c: dict, args) -> bool:
 
 
 def run_pair(args) -> dict | None:
+    if args.cores:
+        shape = ["--cores", args.cores]  # pinned local[N] legs
+    else:
+        shape = ["--executors", args.executors,
+                 "--executor-cores", str(args.executor_cores)]
     cmd = [sys.executable, os.path.join(REPO, "scripts/scaling_run.py"),
-           "--executors", args.executors,
-           "--executor-cores", str(args.executor_cores),
+           *shape,
            "--n-docs", str(args.n_docs),
            "--n-chunks", str(args.n_chunks),
            "--repeats", "1"]
@@ -93,6 +97,10 @@ def main() -> int:
     ap.add_argument("--min-fault-scale4", type=float, default=3.2)
     ap.add_argument("--executors", default="1,4")
     ap.add_argument("--executor-cores", type=int, default=1)
+    ap.add_argument("--cores", default=None,
+                    help="comma list of pinned local[N] sizes — the "
+                         "brief's 'N and 4N cores' shape; overrides "
+                         "--executors")
     ap.add_argument("--n-docs", type=int, default=60_000)
     # a 100-TB build's chunks hold billions of docs, so per-chunk
     # fixed overhead (driver scheduling, stage launch, finalize agg)
