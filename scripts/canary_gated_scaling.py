@@ -80,6 +80,7 @@ def run_pair(args) -> dict | None:
            *shape,
            "--n-docs", str(args.n_docs),
            "--n-chunks", str(args.n_chunks),
+           "--doc-tokens", args.doc_tokens,
            "--repeats", "1"]
     out = subprocess.run(cmd, capture_output=True, text=True,
                          cwd=REPO, check=False)
@@ -101,6 +102,10 @@ def main() -> int:
                     help="comma list of pinned local[N] sizes — the "
                          "brief's 'N and 4N cores' shape; overrides "
                          "--executors")
+    ap.add_argument("--doc-tokens", default="160,4000",
+                    help="lo,hi tokens per doc; short docs "
+                         "(e.g. 20,200) give the CPU-bound control "
+                         "pair, page docs the bandwidth-bound one")
     ap.add_argument("--n-docs", type=int, default=60_000)
     # a 100-TB build's chunks hold billions of docs, so per-chunk
     # fixed overhead (driver scheduling, stage launch, finalize agg)
