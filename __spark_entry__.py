@@ -937,6 +937,30 @@ def _q_phrase(spark, sf_dir):
     return phrase_search(spark, out, PHRASE_QUERY)
 
 
+NEAR_QUERY = "spark window"   # 314 co-occurrence docs at sf0.01...
+NEAR_K = 5                    # ...180 of them within a 5-token span
+
+
+def _q_near(spark, sf_dir):
+    """NEAR/k proximity from the positional sidecar: docs where one
+    occurrence of every query term fits in a max_span-token window
+    (min_span = smallest such window, exact via merged-positions
+    sliding window); no document text read at query time.  Shares
+    the phrase query's content-keyed sidecar build."""
+    import tempfile
+
+    from rechercheinfoweb_spark.operators.positions import (
+        build_positions, near_search,
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"riw_pos_{_content_key(f'{sf_dir}/documents.parquet')}")
+    if not os.path.exists(os.path.join(out, "positions_meta.json")):
+        build_positions(spark, _docs(spark, sf_dir), out,
+                        n_buckets=8, n_salts=4, tokenizer="sql")
+    return near_search(spark, out, NEAR_QUERY, NEAR_K)
+
+
 def _q_pipeline_clean(spark, sf_dir):
     """End-to-end training-data cleaning (operators/pipeline.py):
     lang=en -> quality >= 0.42 -> exact dedup -> simhash-component
@@ -1970,7 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_sigs": _q_minhash_sigs,
         "dd_lsh_pairs": _q_lsh_pairs,
         "dd_jaccard_pairs": _q_jaccard_pairs,
-        "dd_simhash_pairs": _q_simhash_pairs,
+        "ft_near": _q_near,            # new in r4 — needs a driver row
         "dd_clusters": _q_clusters,
         "pp_clean": _q_pipeline_clean,
         "pp_decontaminate": _q_decontaminate,
@@ -1980,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver window; all have green CORRECTNESS_r03 rows ---
         "pp_mix": _q_mix,
         "dd_incremental_pairs": _q_incremental_pairs,
+        "dd_simhash_pairs": _q_simhash_pairs,
         "ft_doc_token_counts": _q_doc_token_counts,
         "ft_top_terms": _q_top_terms,
         "ts_fingerprint": _q_fingerprint,
@@ -2999,6 +3024,30 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc_id
             FROM p3 GROUP BY 1
             ORDER BY canonical_url""",
+        # NEAR/k: with exactly two distinct terms the minimal
+        # covering window is min |p_a - p_b| — the sliding-window
+        # kernel's 2-term special case, exact in SQL
+        "ft_near": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text,
+                         '{SQL_TOKEN_SPLIT}'), t -> t <> '') AS l
+              FROM documents),
+            pa AS (
+              SELECT doc_id, r.i AS p
+              FROM toks, unnest(generate_series(1, len(l))) AS r(i)
+              WHERE l[r.i] = '{NEAR_QUERY.split()[0]}'),
+            pb AS (
+              SELECT doc_id, r.i AS p
+              FROM toks, unnest(generate_series(1, len(l))) AS r(i)
+              WHERE l[r.i] = '{NEAR_QUERY.split()[1]}'),
+            m AS (
+              SELECT a.doc_id,
+                     CAST(min(abs(a.p - b.p)) AS BIGINT) AS min_span
+              FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+              GROUP BY a.doc_id)
+            SELECT doc_id, min_span FROM m
+            WHERE min_span <= {NEAR_K} ORDER BY doc_id""",
         "ft_phrase": f"""
             WITH toks AS (
               SELECT doc_id,

@@ -347,6 +347,109 @@ def _phrase_kernel(terms: list[str], dead: np.ndarray | None = None):
     return fn
 
 
+def _near_kernel(terms: list[str], max_span: int,
+                 dead: np.ndarray | None = None):
+    """applyInPandas kernel over one salt shard's sidecar rows for a
+    NEAR/k query → (doc_id, min_span).
+
+    ``min_span`` is the minimal ``max(pos) - min(pos)`` over one
+    occurrence of EACH distinct term (the classic smallest-window-
+    covering-all-terms measure, exact via a merged-positions sliding
+    window — O(P) per doc after one sort).  Docs with min_span >
+    ``max_span`` are dropped shard-side, so only qualifying rows
+    cross the shuffle."""
+    order = sorted(set(terms))
+    need = len(order)
+
+    def fn(pdf):
+        import pandas as pd
+        decoded: dict[str, tuple] = {}
+        for t, db, cb, pb, df in zip(pdf["term"], pdf["doc_bytes"],
+                                     pdf["cnt_bytes"], pdf["pos_bytes"],
+                                     pdf["df_part"]):
+            decoded[t] = _decode_term_row(bytes(db), bytes(cb),
+                                          bytes(pb), int(df))
+        empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                              "min_span": np.zeros(0, np.int64)})
+        if any(t not in decoded for t in order):
+            return empty
+        common = decoded[order[0]][0]
+        for t in order[1:]:
+            common = np.intersect1d(common, decoded[t][0],
+                                    assume_unique=True)
+        if dead is not None and dead.size and common.size:
+            common = common[~np.isin(common, dead)]
+        if common.size == 0:
+            return empty
+        idx = {t: np.searchsorted(decoded[t][0], common)
+               for t in order}
+        out_ids, out_span = [], []
+        for j, doc in enumerate(common):
+            pos_parts, lab_parts = [], []
+            for ti, t in enumerate(order):
+                _ids, _cnt, pos, off = decoded[t]
+                i = int(idx[t][j])
+                p = pos[off[i]:off[i + 1]]
+                pos_parts.append(p)
+                lab_parts.append(np.full(p.size, ti, np.int64))
+            p = np.concatenate(pos_parts)
+            lab = np.concatenate(lab_parts)
+            o = np.argsort(p, kind="stable")
+            p, lab = p[o], lab[o]
+            cnt = np.zeros(need, np.int64)
+            have, left, best = 0, 0, None
+            for right in range(p.size):
+                cnt[lab[right]] += 1
+                if cnt[lab[right]] == 1:
+                    have += 1
+                while have == need:
+                    span = int(p[right] - p[left])
+                    if best is None or span < best:
+                        best = span
+                    cnt[lab[left]] -= 1
+                    if cnt[lab[left]] == 0:
+                        have -= 1
+                    left += 1
+            if best is not None and best <= max_span:
+                out_ids.append(int(doc))
+                out_span.append(best)
+        return pd.DataFrame(
+            {"doc_id": np.asarray(out_ids, np.int64),
+             "min_span": np.asarray(out_span, np.int64)})
+
+    return fn
+
+
+def near_search(spark: SparkSession, out_dir: str, query: str,
+                max_span: int,
+                stopwords: frozenset[str] = STOPWORDS) -> DataFrame:
+    """NEAR/k proximity retrieval from the positional sidecar alone:
+    docs where one occurrence of EVERY query term fits inside a
+    token window of width ``max_span`` (min over windows reported as
+    ``min_span`` — 0 means adjacent/identical positions).  Unordered
+    — the phrase operator is the ordered special case.  Same scale
+    shape as :func:`phrase_search`: bucket-pruned sidecar scan, one
+    per-salt kernel, no document text read."""
+    meta = read_positions_meta(out_dir)
+    terms = phrase_terms(query, meta, stopwords)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, min_span long")
+    distinct = sorted(set(terms))
+    buckets = sorted({_bucket_of(t, meta["n_buckets"])
+                      for t in distinct})
+    table = os.path.join(out_dir, "positions")
+    rows = (spark.read.option("basePath", table).parquet(table)
+            .where(F.col("bucket").isin(buckets)
+                   & F.col("term").isin(distinct)))
+    from .delete import read_tombstones
+    dead = read_tombstones(out_dir)
+    res = (rows.groupBy("salt")
+           .applyInPandas(_near_kernel(distinct, max_span,
+                                       dead if dead.size else None),
+                          schema="doc_id long, min_span long"))
+    return res.orderBy("doc_id")
+
+
 def read_positions_meta(out_dir: str) -> dict:
     with open(os.path.join(out_dir, POSITIONS_META)) as f:
         return json.load(f)

@@ -138,3 +138,55 @@ def test_partitioning_invariance(spark, tmp_path_factory):
         want = brute_phrase(text, "state art", "sql")
         got = dict(outs[0]).get(doc_id)
         assert (want or None) == got
+
+
+def brute_near(text: str, query: str, tokenizer: str, k: int):
+    """Min covering window over one occurrence of each distinct
+    query term — exhaustive over occurrence combinations."""
+    import itertools
+
+    if tokenizer == "sql":
+        toks = [t for t in re.split("[^a-zA-Z0-9]+", text) if t]
+        words = [t for t in re.split("[^a-zA-Z0-9]+", query) if t]
+    else:
+        mapped = make_index_token_mapper(STOPWORDS, True)
+        toks = []
+        for tok in raw_tokens(text):
+            r = mapped([tok])
+            toks.append(r[0] if r else None)
+        words = []
+        for w in raw_tokens(query):
+            r = mapped([w])
+            if not r:
+                return None
+            words.append(r[0])
+    terms = sorted(set(words))
+    if not terms:
+        return None
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+    if any(not pos[t] for t in terms):
+        return None
+    best = min(max(c) - min(c) for c in
+               itertools.product(*[pos[t] for t in terms]))
+    return best if best <= k else None
+
+
+NEAR_QUERIES = [("state art", 1), ("state art", 0), ("a b", 2),
+                ("the search", 3), ("state of art", 4),
+                ("search engines state", 30), ("missing words", 9),
+                ("search", 0), ("", 5)]
+
+
+@pytest.mark.parametrize("mode", ["engine", "sql"])
+def test_near_matches_brute_force(spark, sidecars, mode):
+    from rechercheinfoweb_spark.operators.positions import near_search
+
+    for query, k in NEAR_QUERIES:
+        got = {r["doc_id"]: r["min_span"] for r in
+               near_search(spark, sidecars[mode], query, k).collect()}
+        exp = {}
+        for did, text in DOCS:
+            s = brute_near(text, query, mode, k)
+            if s is not None:
+                exp[did] = s
+        assert got == exp, f"{mode}: NEAR/{k} {query!r}"
