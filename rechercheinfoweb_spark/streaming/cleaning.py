@@ -34,13 +34,22 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
                     min_quality: float = 0.0,
                     watermark: str = "1 hour",
                     c4_rules: bool = False,
-                    gopher_rules: bool = False) -> DataFrame:
+                    gopher_rules: bool = False,
+                    blocked_domains: list[str] | None = None,
+                    banned_url_words: list[str] | None = None,
+                    badwords: list[str] | None = None) -> DataFrame:
     """Admit-or-drop gate over a streaming web_pages DataFrame.
 
     Input columns: (url, warc_ts, text, ...) — the input_hint shape.
     Output: (url, warc_ts, text, lang_pred, quality) for pages that
     pass the language gate, the quality threshold, and first-seen
     exact dedup within the watermark horizon.
+
+    ``blocked_domains``/``banned_url_words`` (RefinedWeb stage 0,
+    ``pipeline.url_filter``) and ``badwords`` (C4's blocklist page
+    rule, ``pipeline.badwords_filter``) run FIRST when given — both
+    stateless map-side predicates, so they stream as-is, and the URL
+    gate drops pages before any text expression runs.
 
     ``c4_rules`` first REWRITES each page through the C4 line rules
     and drops pages failing the C4 page rules
@@ -62,6 +71,12 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     to streaming dedup (no total order exists over an unbounded
     stream).  The streaming==batch test compares at content level
     for exactly this reason."""
+    if blocked_domains or banned_url_words:
+        from ..operators.pipeline import url_filter
+        pages = url_filter(pages, blocked_domains, banned_url_words)
+    if badwords:
+        from ..operators.pipeline import badwords_filter
+        pages = badwords_filter(pages, badwords)
     if c4_rules:
         from ..operators.pipeline import c4_clean
         pages = (c4_clean(pages, id_cols=("url", "warc_ts"))

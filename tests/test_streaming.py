@@ -330,3 +330,51 @@ def test_streaming_clean_with_c4_and_gopher_rules(
               .where(textstats.gopher_keep_col()))
     manual_texts = {r["text"] for r in manual.collect()}
     assert {r["text"] for r in got} <= manual_texts
+
+
+def test_streaming_clean_with_url_and_badwords_gates(
+        spark, tmp_path_factory):
+    """The RefinedWeb URL gate + C4 bad-words rule compose into the
+    streaming ingest path (stateless map-side predicates) and match
+    the batch twin exactly — including which pages the URL rule
+    drops before any text expression runs."""
+    from pyspark.sql import functions as F
+
+    from rechercheinfoweb_spark.operators.pipeline import (
+        badwords_filter, url_filter,
+    )
+    from rechercheinfoweb_spark.streaming.cleaning import (
+        streaming_clean,
+    )
+
+    src = str(tmp_path_factory.mktemp("ubw_src"))
+    pages = synthetic_web_pages(spark, 100).drop("html")
+    blocked = [f"host{i}.example" for i in range(5)]   # ~5% of urls
+    badwords = ["shuffle"]                             # common token
+    half = pages.randomSplit([0.5, 0.5], seed=11)
+    half[0].write.parquet(f"{src}/b0")
+    half[1].write.parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(pages.schema).parquet(f"{src}/*/")
+    out = streaming_clean(stream, lang="en", min_quality=0.0,
+                          blocked_domains=blocked, badwords=badwords)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("ubw_cleaned")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from ubw_cleaned").collect()
+
+    want = streaming_clean(pages, lang="en", min_quality=0.0,
+                           blocked_domains=blocked,
+                           badwords=badwords).collect()
+    key = lambda r: (r["text"], r["lang_pred"], r["quality"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert 0 < len(got) < pages.count()
+    # survivors are exactly the pages passing both standalone gates
+    # (plus the unchanged lang gate downstream)
+    manual = badwords_filter(
+        url_filter(pages, blocked), badwords)
+    manual_urls = {r["url"] for r in manual.collect()}
+    assert {r["url"] for r in got} <= manual_urls
+    blocked_urls = {r["url"] for r in pages.collect()} - manual_urls
+    assert not ({r["url"] for r in got} & blocked_urls)
