@@ -355,6 +355,10 @@ def main() -> None:
     with timed("phrase_query"):
         extra["phrase_hits"] = phrase_search(
             spark, pos_dir, "search engine").count()
+    from rechercheinfoweb_spark.operators.positions import near_search
+    with timed("near_query"):
+        extra["near_hits"] = near_search(
+            spark, pos_dir, "search engine", 8).count()
 
     # ---- chunk compaction (LSM segment merge) ---------------------
     # merge the build's 8 chunks to ~2: pure block-list concatenation

@@ -124,13 +124,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, lang_pred, quality) in ONE map-side projection
-    — the fused stage-1/2 scan of :func:`clean_corpus`."""
-    toks = tokens_col()
-    return docs.select(
+    """(doc_id, text, lang_pred, quality) — the fused stage-1/2 scan
+    of :func:`clean_corpus`.  Two chained projections: the token
+    array materializes ONCE and both feature trees reference it (the
+    language vote alone holds ~10 references; inlining the tokenizer
+    into each re-tokenizes per reference — interpreted higher-order
+    exprs get no CSE, the same pathology measured 8x on the Gopher
+    gate)."""
+    base = docs.select("doc_id", "text", tokens_col().alias("_toks"))
+    t = F.col("_toks")
+    return base.select(
         "doc_id", "text",
-        _lang_pred_col(toks).alias("lang_pred"),
-        _quality_col(toks).alias("quality"))
+        _lang_pred_col(t).alias("lang_pred"),
+        _quality_col(t).alias("quality"))
 
 
 def clean_corpus(docs: DataFrame, lang: str = "en",

@@ -85,11 +85,15 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     if gopher_rules:
         from ..operators.textstats import gopher_keep_col
         pages = pages.where(gopher_keep_col())
-    toks = tokens_col()
-    stats = pages.select(
+    # token array materialized once, shared by both feature trees
+    # (same projection split as pipeline.doc_stats — see its note)
+    base = pages.select("url", "warc_ts", "text",
+                        tokens_col().alias("_toks"))
+    t = F.col("_toks")
+    stats = base.select(
         "url", "warc_ts", "text",
-        _lang_pred_col(toks).alias("lang_pred"),
-        _quality_col(toks).alias("quality"),
+        _lang_pred_col(t).alias("lang_pred"),
+        _quality_col(t).alias("quality"),
         F.md5("text").alias("_h"))
     kept = stats.where((F.col("lang_pred") == lang)
                        & (F.col("quality") >= min_quality))
