@@ -118,13 +118,26 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score (rounded so the
-    DuckDB oracle hashes identically)."""
-    n_tok = F.size(tokens_col())
-    n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    n_stop = F.size(F.filter(
-        tokens_col(),
-        lambda t: F.lower(t).isin(*LANG_MARKERS["en"])))
+    DuckDB oracle hashes identically).
+
+    Three chained projections so the tokenize, the stopword filter
+    and the alpha strip each run ONCE per row — the ratio and score
+    outputs then combine cheap integer columns (inlining the trees
+    re-evaluates them per reference; interpreted higher-order exprs
+    get no CSE)."""
+    base = docs.select("doc_id", "text", tokens_col().alias("_toks"))
+    toks = F.col("_toks")
+    counted = base.select(
+        "doc_id",
+        F.size(toks).alias("_n_tok"),
+        F.length("text").alias("_n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+         .alias("_n_alpha"),
+        F.size(F.filter(
+            toks, lambda t: F.lower(t).isin(*LANG_MARKERS["en"])))
+         .alias("_n_stop"))
+    n_tok, n_chars = F.col("_n_tok"), F.col("_n_chars")
+    n_alpha, n_stop = F.col("_n_alpha"), F.col("_n_stop")
     alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
     avg_tok_len = F.round(
@@ -132,7 +145,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     score = F.round(
         0.4 * alpha_ratio + 0.4 * stop_ratio
         + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
-    return docs.select(
+    return counted.select(
         "doc_id", n_tok.alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -258,31 +271,43 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     row — a single corpus scan, zero shuffles, no Python.  The
     duplicate counts come from one sorted-run fold per array
     (:func:`_scan_sorted_runs`) instead of explode + groupBy(doc_id,
-    item) + re-agg, which would shuffle the corpus twice."""
-    lines = _lines_col()
-    n_lines = F.size(lines)
-    n_dist = F.size(F.array_distinct(lines))
+    item) + re-agg, which would shuffle the corpus twice.  The line
+    and bigram arrays are projected once and shared across features
+    (the no-CSE multi-reference pathology — see the Gopher gate
+    note); the fraction outputs combine cheap integer columns."""
+    base = docs.select("doc_id", _lines_col().alias("_lines"),
+                       _bigrams_col().alias("_bg"))
+    lines, bigrams = F.col("_lines"), F.col("_bg")
     zero = F.lit(0).cast("long")
-    dup_chars = _scan_sorted_runs(
-        lines, lambda prev, run: F.when(
-            run >= 2, run * F.length(prev).cast("long")).otherwise(zero))
-    tot_chars = F.aggregate(
-        lines, zero, lambda acc, l: acc + F.length(l).cast("long"))
-    bigrams = _bigrams_col()
-    n_bg = F.size(bigrams)
-    top_bg = _scan_sorted_runs(bigrams, lambda _prev, run: run,
-                               combine=F.greatest)
+    counted = base.select(
+        "doc_id",
+        F.size(lines).alias("_n_lines"),
+        F.size(F.array_distinct(lines)).alias("_n_dist"),
+        _scan_sorted_runs(
+            lines, lambda prev, run: F.when(
+                run >= 2, run * F.length(prev).cast("long"))
+            .otherwise(zero)).alias("_dup_chars"),
+        F.aggregate(lines, zero,
+                    lambda acc, l: acc + F.length(l).cast("long"))
+         .alias("_tot_chars"),
+        F.size(bigrams).alias("_n_bg"),
+        _scan_sorted_runs(bigrams, lambda _prev, run: run,
+                          combine=F.greatest).alias("_top_bg"))
 
     def frac(num, den):
         return F.round(num / F.greatest(den, F.lit(1)), 6)
 
-    return docs.select(
+    n_lines = F.col("_n_lines")
+    return counted.select(
         "doc_id",
         n_lines.alias("n_lines"),
-        frac(n_lines - n_dist, n_lines).alias("dup_line_frac"),
-        frac(dup_chars, tot_chars).alias("dup_line_char_frac"),
-        n_bg.alias("n_bigrams"),
-        frac(top_bg, n_bg).alias("top_bigram_frac"),
+        frac(n_lines - F.col("_n_dist"), n_lines)
+        .alias("dup_line_frac"),
+        frac(F.col("_dup_chars"), F.col("_tot_chars"))
+        .alias("dup_line_char_frac"),
+        F.col("_n_bg").alias("n_bigrams"),
+        frac(F.col("_top_bg"), F.col("_n_bg"))
+        .alias("top_bigram_frac"),
     )
 
 
