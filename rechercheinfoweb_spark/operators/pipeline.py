@@ -376,11 +376,15 @@ def url_filter_stats(pages: DataFrame,
     # the authority (crawl tables sometimes store schemeless urls)
     host = F.when(host == "", F.regexp_extract(u, "^([^/]+)", 1)) \
         .otherwise(host)
+    # host staged once; the rules read the column (the extraction
+    # regexes would otherwise re-run per rule reference)
+    based = pages.select("*", host.alias("host"))
+    hcol = F.col("host")
     if blocked:
         bl = F.array(*[F.lit(d) for d in blocked])
         dom_blocked = F.exists(
-            bl, lambda d: (host == d)
-            | host.endswith(F.concat(F.lit("."), d)))
+            bl, lambda d: (hcol == d)
+            | hcol.endswith(F.concat(F.lit("."), d)))
     else:
         dom_blocked = F.lit(False)
     if banned:
@@ -388,11 +392,14 @@ def url_filter_stats(pages: DataFrame,
                     for w in banned), F.lit(0))
     else:
         hits = F.lit(0)
-    return pages.select(
-        "*", host.alias("host"),
+    flagged = based.select(
+        "*",
         dom_blocked.cast("int").alias("domain_blocked"),
-        hits.cast("long").alias("url_word_hits"),
-        (~dom_blocked & (hits == 0)).cast("int").alias("url_keep"))
+        hits.cast("long").alias("url_word_hits"))
+    return flagged.select(
+        "*",
+        ((F.col("domain_blocked") == 0) & (F.col("url_word_hits") == 0))
+        .cast("int").alias("url_keep"))
 
 
 def url_filter(pages: DataFrame,
@@ -1069,9 +1076,13 @@ def badwords_stats(docs: DataFrame, badwords: list[str],
         lambda w: F.regexp_replace(
             F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", ""))
     hits = F.size(F.filter(words, lambda w: F.array_contains(bw, w)))
-    return docs.select(
-        *id_cols, hits.cast("long").alias("bad_hits"),
-        (hits == 0).cast("int").alias("bad_keep"))
+    # hit count staged once; the keep flag reads the column (the
+    # inline expr would re-scan the word array per reference)
+    counted = docs.select(*id_cols,
+                          hits.cast("long").alias("bad_hits"))
+    return counted.select(
+        *id_cols, "bad_hits",
+        (F.col("bad_hits") == 0).cast("int").alias("bad_keep"))
 
 
 def badwords_filter(docs: DataFrame, badwords: list[str]) -> DataFrame:
