@@ -209,6 +209,27 @@ def compact_chunks(spark: SparkSession, out_dir: str, *,
     working = read_registry(paths.chunks)
     published = snapshot_registry(paths, stats)
     published_ids = {r["chunk"] for r in published}
+    working_ids = {r["chunk"] for r in working}
+    # Interrupted-compaction detection: compact is the ONLY operation
+    # that removes rows from the working registry, and it writes the
+    # replacement data dirs BEFORE the (atomic) working-manifest
+    # commit, with the snapshot publish strictly after.  A published
+    # chunk missing from the working registry therefore means a
+    # previous run crashed between its manifest commit and the
+    # publish: the replacement data is complete on disk — COMPLETE
+    # the publish instead of planning a new merge, which would read
+    # the published chunk list, merge it AGAIN under fresh ids, and
+    # double every replaced chunk in the next snapshot.
+    if published_ids - working_ids:
+        fin = finalize_index(spark, out_dir,
+                             n_buckets=int(stats["n_buckets"]),
+                             block_size=int(stats["block_size"]),
+                             k1=float(stats["k1"]),
+                             b=float(stats["b"]))
+        return {"merged_groups": 0, "resumed_publish": True,
+                "n_chunks_before": len(published),
+                "n_chunks_after": fin["n_chunks"],
+                "wall_secs": round(time.time() - t0, 3)}
 
     from .delete import dead_by_salt, read_tombstones
     tombstones = (read_tombstones(paths) if purge_deletes

@@ -257,3 +257,50 @@ def test_plan_groups_respects_target():
     assert [r["chunk"] for r in groups[1]] == [2] or \
            [len(g) for g in groups][1] <= 2
     assert any(g == [rows[3]] for g in groups)
+
+
+def test_compact_crash_publishes_atomically(spark, tmp_path_factory,
+                                            monkeypatch):
+    """A crash at compaction's commit point (the live corpus_stats
+    write inside finalize) leaves readers on the pre-compaction
+    snapshot — identical answers on every query surface — and a
+    clean re-run converges to the same answers as an uncrashed
+    compaction."""
+    from rechercheinfoweb_spark.operators import index_build
+
+    out = str(tmp_path_factory.mktemp("crash_idx"))
+    pages = synthetic_web_pages(spark, N)
+    build_index(spark, pages, out, n_chunks=8, n_buckets=8)
+    before = _snapshot(spark, IndexReader(spark, out))
+    n_chunks_before = len(read_registry(IndexPaths(out).chunks))
+
+    live = IndexPaths(out).corpus_stats
+    real = index_build._write_corpus_stats
+
+    def crash_at_commit(path, **values):
+        if path == live:
+            raise RuntimeError("injected failure: compact commit")
+        real(path, **values)
+
+    monkeypatch.setattr(index_build, "_write_corpus_stats",
+                        crash_at_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_chunks(spark, out, target_docs=N // 2)
+    # readers opened after the crash: old snapshot, bit-identical
+    assert _snapshot(spark, IndexReader(spark, out)) == before
+
+    # re-run: the interrupted compaction is detected (published
+    # chunks already replaced in the working registry) and its
+    # pending publish COMPLETES — re-merging here would double every
+    # replaced chunk (the bug this test originally caught)
+    monkeypatch.setattr(index_build, "_write_corpus_stats", real)
+    info = compact_chunks(spark, out, target_docs=N // 2)
+    assert info.get("resumed_publish") is True
+    after_reader = IndexReader(spark, out)
+    assert _snapshot(spark, after_reader) == before
+    assert len(after_reader.salt_map) < n_chunks_before
+    # and the index is stable: one more compact is a plain no-op
+    again = compact_chunks(spark, out, target_docs=N // 2)
+    assert again["merged_groups"] == 0
+    assert "resumed_publish" not in again
+    assert _snapshot(spark, IndexReader(spark, out)) == before
