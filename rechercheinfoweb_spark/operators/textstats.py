@@ -97,23 +97,30 @@ def token_counts(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word vote per language; winner by count then language
-    code (deterministic)."""
-    toks = docs.select("doc_id",
-                       F.explode(tokens_col()).alias("tok"))
-    lowered = toks.select("doc_id", F.lower("tok").alias("tok"))
-    scores = lowered.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
-         .alias(f"hits_{lang}")
-        for lang, words in LANG_MARKERS.items()
-    ])
+    code (deterministic).
+
+    Zero-shuffle since r4: the per-language hit counts are array
+    filters over ONE projected lowercased-token array (the previous
+    explode + groupBy(doc_id) shuffled every token of the corpus —
+    a non-shape at 10^12 docs for a per-row statistic).  Output
+    bit-identical; counts stay LONG like the old sum aggregate."""
+    base = docs.select(
+        "doc_id",
+        F.transform(tokens_col(), lambda t: F.lower(t))
+        .alias("_lt"))
+    lt = F.col("_lt")
     langs = list(LANG_MARKERS)
+    counted = base.select("doc_id", *[
+        F.size(F.filter(lt, lambda t: t.isin(*words)))
+        .cast("long").alias(f"hits_{lang}")
+        for lang, words in LANG_MARKERS.items()])
     best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
     pick = F.coalesce(
         *[F.when((F.col(f"hits_{la}") == best) & (best > 0), F.lit(la))
           for la in langs],
         F.lit("und"))
-    return scores.select("doc_id", *[f"hits_{la}" for la in langs],
-                         pick.alias("lang_pred"))
+    return counted.select("doc_id", *[f"hits_{la}" for la in langs],
+                          pick.alias("lang_pred"))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:

@@ -246,3 +246,18 @@ def test_normalize_text_nfc(spark):
     nk = {r["doc_id"]: r["text_norm"] for r in
           textstats.normalize_text(docs, form="NFKC").collect()}
     assert nk[4].startswith("first")
+
+
+def test_lang_id_zero_shuffle_and_empty_doc(spark):
+    """lang_id is one map-side projection (no Exchange — the old
+    explode+groupBy shuffled every corpus token), and an empty doc
+    now gets a row voting 'und' instead of silently vanishing."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "der die das")],
+        "doc_id long, text string")
+    plan = textstats.lang_id(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["doc_id"]: r["lang_pred"]
+            for r in textstats.lang_id(docs).collect()}
+    assert rows == {1: "en", 2: "und", 3: "de"}
