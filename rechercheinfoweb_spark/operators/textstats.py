@@ -489,6 +489,102 @@ def _gopher_words_col(col: str = "text") -> Column:
     return F.filter(F.split(col, r"\s+"), lambda w: w != "")
 
 
+def _gopher_counts_kernel():
+    """pandas UDF: raw TEXT → the nine integer numerators of the
+    Gopher A1 gate, tokenized with Arrow C kernels (the three JVM
+    splits — whitespace words, lines, tokens — dominated the gate's
+    cost on page-sized docs):
+
+      [n_words, word_chars, n_hash, n_ellipsis, n_lines, n_bullet,
+       n_ellipsis_end, n_alpha_words, stop_hits]
+
+    Ratios and round-6 stay JVM-side in the callers, so the gate's
+    published feature values are bit-identical to the expression
+    path (pinned by the keep-col equality test and the ts_gopher
+    oracle).  RE2-vs-Java regex note: ``\\s`` differs only on
+    ``\\x0B``, and the DuckDB oracle is RE2-based already."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def kern(texts: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        B = len(texts)
+        out = np.zeros((B, 9), np.int64)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        arr = pa.array(texts.fillna(""), type=pa.string())
+
+        words = pc.split_pattern_regex(arr, pattern=r"\s+")
+        w_doc = np.repeat(np.arange(B),
+                          np.diff(np.asarray(words.offsets)))
+        w_lens = pc.utf8_length(words.values).to_numpy() \
+            .astype(np.int64)
+        w_ok = w_lens > 0
+        out[:, 0] = np.bincount(w_doc[w_ok], minlength=B)
+        out[:, 1] = np.bincount(w_doc[w_ok], weights=w_lens[w_ok],
+                                minlength=B)
+        alpha = pc.match_substring_regex(
+            words.values, "[A-Za-z]").to_numpy(zero_copy_only=False)
+        out[:, 7] = np.bincount(w_doc[w_ok & alpha], minlength=B)
+
+        out[:, 2] = pc.count_substring(arr, "#").to_numpy() \
+            .astype(np.int64)
+        out[:, 3] = pc.count_substring_regex(
+            arr, "(\\.\\.\\.|…)").to_numpy().astype(np.int64)
+
+        lines = pc.split_pattern(arr, "\n")
+        # Spark/DuckDB trim strips SPACES only — utf8_trim with an
+        # explicit space set, not trim_whitespace (Unicode classes)
+        l_vals = pc.utf8_trim(lines.values, characters=" ")
+        l_doc = np.repeat(np.arange(B),
+                          np.diff(np.asarray(lines.offsets)))
+        l_ok = pc.utf8_length(l_vals).to_numpy() > 0
+        out[:, 4] = np.bincount(l_doc[l_ok], minlength=B)
+        bullet = pc.match_substring_regex(
+            l_vals, "^[•\\-\\*]").to_numpy(zero_copy_only=False)
+        out[:, 5] = np.bincount(l_doc[l_ok & bullet], minlength=B)
+        ell_end = pc.match_substring_regex(
+            l_vals, "(\\.\\.\\.|…)$").to_numpy(zero_copy_only=False)
+        out[:, 6] = np.bincount(l_doc[l_ok & ell_end], minlength=B)
+
+        toks = pc.split_pattern_regex(arr, pattern=SQL_TOKEN_SPLIT)
+        tv = pc.ascii_lower(toks.values)
+        t_doc = np.repeat(np.arange(B),
+                          np.diff(np.asarray(toks.offsets)))
+        hits = np.zeros(B, np.int64)
+        for sw in GOPHER_STOPWORDS:
+            m = pc.equal(tv, sw).to_numpy(zero_copy_only=False)
+            present = np.zeros(B, bool)
+            present[t_doc[m]] = True
+            hits += present
+        out[:, 8] = hits
+        return pd.Series(list(out))
+
+    return kern
+
+
+def _gopher_features_from_counts() -> dict[str, Column]:
+    """The A1 features over the counts-kernel column ``_c`` — the
+    SAME ratio/round expressions as :func:`_gopher_features_from`,
+    fed by Arrow-side integer numerators."""
+    g = lambda i: F.element_at("_c", i)  # noqa: E731
+    n_words = g(1).cast("long")
+    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
+    ldiv = F.greatest(g(5), F.lit(1)).cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(g(2).cast("long") / wdiv, 6),
+        "hash_ratio": F.round(g(3).cast("long") / wdiv, 6),
+        "ellipsis_ratio": F.round(g(4).cast("long") / wdiv, 6),
+        "bullet_line_frac": F.round(g(6).cast("long") / ldiv, 6),
+        "ellipsis_line_frac": F.round(g(7).cast("long") / ldiv, 6),
+        "alpha_word_frac": F.round(g(8).cast("long") / wdiv, 6),
+        "stop_hits": g(9).cast("long"),
+    }
+
+
 def _gopher_feature_cols(col: str = "text") -> dict[str, Column]:
     """Inline-expression variant (one self-contained Column per
     feature) — used by :func:`gopher_keep_col`, whose contract is a
@@ -534,18 +630,14 @@ def gopher_quality_stats(docs: DataFrame) -> DataFrame:
     Floats rounded to 6 (oracle convention); zero-word / zero-line
     docs get 0 features and fail the gate on the word-count rule.
 
-    Two chained projections: the word/line/token arrays materialize
-    ONCE, then every feature references them (the alias is used more
-    than once, so CollapseProject keeps the stage split and the
-    arrays are genuinely shared — inlining the array expressions
-    into each feature re-splits the text several times per row,
-    measured 8x slower on page-sized docs)."""
-    base = docs.select("doc_id", "text",
-                       _gopher_words_col().alias("_w"),
-                       _lines_col().alias("_l"),
-                       lower_tokens_col().alias("_t"))
-    feats = _gopher_features_from("text", F.col("_w"), F.col("_l"),
-                                  F.col("_t"))
+    The nine integer numerators come from ONE Arrow counts kernel
+    (:func:`_gopher_counts_kernel` — C-side splits; the three JVM
+    split expressions dominated the gate at 15-20 s on the 50k
+    page-doc corpus); ratios and round-6 stay JVM-side, so feature
+    values are bit-identical to the expression path."""
+    base = docs.select("doc_id",
+                       _gopher_counts_kernel()("text").alias("_c"))
+    feats = _gopher_features_from_counts()
     out = base.select("doc_id",
                       *[c.alias(n) for n, c in feats.items()])
     return out.withColumn("keep", _gopher_keep_expr(F.col).cast("int"))
@@ -566,16 +658,13 @@ def gopher_keep_col(col: str = "text") -> Column:
 def gopher_filter(docs: DataFrame) -> DataFrame:
     """Docs surviving every Gopher A1 quality rule — map-side only
     (no join, no shuffle; works on streaming input too).  Same
-    shared-array projection as :func:`gopher_quality_stats`; the
-    helper columns are dropped after the gate, so the output schema
-    is exactly the input schema."""
+    Arrow counts kernel as :func:`gopher_quality_stats`; the helper
+    column is dropped after the gate, so the output schema is
+    exactly the input schema."""
     cols = docs.columns
     base = docs.select(*cols,
-                       _gopher_words_col().alias("_w"),
-                       _lines_col().alias("_l"),
-                       lower_tokens_col().alias("_t"))
-    feats = _gopher_features_from("text", F.col("_w"), F.col("_l"),
-                                  F.col("_t"))
+                       _gopher_counts_kernel()("text").alias("_c"))
+    feats = _gopher_features_from_counts()
     gated = base.select(*cols,
                         _gopher_keep_expr(lambda n: feats[n])
                         .alias("_keep"))
@@ -748,9 +837,14 @@ def _dup_cov_kernel(ns: tuple[int, ...]):
 
 def _gopher_rep_kernel(top_ns: tuple[int, ...],
                        dup_ns: tuple[int, ...]):
-    """pandas UDF: token array → ALL A1.1 repetition numerators in
-    one pass — [top-n chars per n in ``top_ns``] + [dup-n coverage
-    chars per n in ``dup_ns``], raw LONGs (fractions stay JVM-side).
+    """pandas UDF: raw TEXT → [total token chars] + ALL A1.1
+    repetition numerators in one pass — [top-n chars per n in
+    ``top_ns``] + [dup-n coverage chars per n in ``dup_ns``], raw
+    LONGs (fractions stay JVM-side).  Tokenization happens INSIDE
+    the kernel with Arrow C kernels (RE2 split + ascii lower +
+    dictionary encode) — semantically identical to
+    ``lower_tokens_col`` and an order of magnitude cheaper than the
+    JVM split expression on page-sized docs.
 
     EXACT and single-factorization: tokens are np.unique'd ONCE per
     doc; every longer gram id derives incrementally from the previous
@@ -770,55 +864,110 @@ def _gopher_rep_kernel(top_ns: tuple[int, ...],
     import numpy as np
 
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    top_set, dup_set = set(top_ns), set(dup_ns)
+    top_rows = {n: i for i, n in enumerate(top_ns)}
+    dup_rows = {n: i for i, n in enumerate(dup_ns)}
+    n_max = all_ns[-1]
+
+    # Tie-break correctness of the integer path: the top-n argmax
+    # breaks count ties by the lexicographically smallest SPACE-
+    # JOINED gram.  Every tokenizer charset here is > 0x20 (alnum
+    # plus '-/), so joined-string order equals token-tuple order
+    # equals token-RANK-tuple order, and the incremental gram ids
+    # below are assigned in exactly (doc, rank-tuple) order — the
+    # smallest tied gram id IS the tie-break winner, no string joins.
 
     @F.pandas_udf("array<long>")
-    def kern(tok_arrays: pd.Series) -> pd.Series:
-        def per(toks) -> list[int]:
-            toks = list(toks)
-            T = len(toks)
-            out: dict[tuple[str, int], int] = {}
-            for n in top_ns:
-                out[("t", n)] = 0
-            for n in dup_ns:
-                out[("d", n)] = 0
-            if T >= 2:
-                lens = np.array([len(t) for t in toks],
-                                dtype=np.int64)
-                _u, ids = np.unique(toks, return_inverse=True)
-                ids = ids.astype(np.int64)
-                V = len(_u)
-                gram_ids = ids  # ids of length-1 grams, one per start
-                for n in range(2, all_ns[-1] + 1):
-                    G = T - n + 1
-                    if G < 1:
-                        break
-                    keys = gram_ids[:G] * V + ids[n - 1:]
-                    _uk, first, gram_ids = np.unique(
-                        keys, return_index=True, return_inverse=True)
-                    counts = np.bincount(gram_ids)
-                    if n in top_set:
-                        mx = int(counts.max())
-                        cand = first[counts == mx]
-                        best = min(" ".join(toks[s:s + n])
-                                   for s in cand)
-                        out[("t", n)] = mx * (len(best) - (n - 1))
-                    if n in dup_set:
-                        starts = counts[gram_ids] >= 2
-                        if starts.any():
-                            ps = np.concatenate(
-                                ([0], np.cumsum(starts)))
-                            t = np.arange(T)
-                            lo = np.maximum(t - n + 1, 0)
-                            hi = np.minimum(t, G - 1)
-                            cov = (hi >= lo) & (ps[hi + 1] - ps[lo] > 0)
-                            out[("d", n)] = int(lens[cov].sum())
-            elif T == 1:
-                pass  # no n>=2 gram exists; every numerator is 0
-            return ([out[("t", n)] for n in top_ns]
-                    + [out[("d", n)] for n in dup_ns])
+    def kern(texts: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        return tok_arrays.map(per)
+        B = len(texts)
+        k = 1 + len(top_ns) + len(dup_ns)
+        out = np.zeros((B, k), np.int64)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        # Arrow-native tokenize (RE2 split + ascii lower, all C) —
+        # the JVM split expression measured 15-20 s alone on the 50k
+        # page-doc corpus, dwarfing the gram math.  Tokens under
+        # this split are pure [a-zA-Z0-9], so ascii_lower == the JVM
+        # F.lower and split/lower order cannot matter; the boundary
+        # empties RE2 emits are exactly the ones tokens_col filters.
+        arr = pa.array(texts.fillna(""), type=pa.string())
+        toks = pc.split_pattern_regex(arr, pattern=SQL_TOKEN_SPLIT)
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        vals = pc.ascii_lower(toks.values)
+        lens_all = pc.utf8_length(vals).to_numpy().astype(np.int64)
+        doc_of_all = np.repeat(np.arange(B), np.diff(offs))
+        nonempty = lens_all > 0
+        dec = pc.dictionary_encode(vals)
+        codes = np.asarray(dec.indices).astype(np.int64)[nonempty]
+        uniq = np.asarray(dec.dictionary.to_pandas(), dtype=object)
+        doc_of = doc_of_all[nonempty]
+        tok_lens = lens_all[nonempty]
+        T = int(codes.size)
+        if T:
+            n_i = np.bincount(doc_of, minlength=B).astype(np.int64)
+            # element 1: total token chars (the shared denominator)
+            out[:, 0] = np.bincount(
+                doc_of, weights=tok_lens,
+                minlength=B).astype(np.int64)
+            # lexicographic RANKS over only the V distinct tokens
+            # (the rank-tuple tie-break needs string order; V << T)
+            order = np.argsort(uniq)
+            rank = np.empty(len(uniq), np.int64)
+            rank[order] = np.arange(len(uniq))
+            ids = rank[codes]
+            V = np.int64(len(uniq))
+            cumlens = np.concatenate(([0], np.cumsum(tok_lens)))
+            ends = np.cumsum(n_i)
+            doc_start_flat = np.repeat(ends - n_i, n_i)
+            doc_end_flat = np.repeat(ends, n_i)
+            idx = np.arange(T)
+            _, gid = np.unique(doc_of * V + ids,
+                               return_inverse=True)
+            gid = gid.astype(np.int64)
+            for n in range(2, n_max + 1):
+                valid = idx + (n - 1) < doc_end_flat
+                vp = idx[valid]
+                if vp.size == 0:
+                    break
+                keys = gid[vp] * V + ids[vp + n - 1]
+                _uk, first, inv = np.unique(
+                    keys, return_index=True, return_inverse=True)
+                counts = np.bincount(inv)
+                n_grams = len(_uk)
+                gram_doc = doc_of[vp[first]]
+                if n in top_rows:
+                    maxc = np.zeros(B, np.int64)
+                    np.maximum.at(maxc, gram_doc, counts)
+                    cand = np.nonzero(counts == maxc[gram_doc])[0]
+                    # min gram id per doc among tied == lex winner
+                    bj = np.full(B, n_grams, np.int64)
+                    np.minimum.at(bj, gram_doc[cand], cand)
+                    have = np.nonzero(bj < n_grams)[0]
+                    s = vp[first[bj[have]]]
+                    chars = cumlens[s + n] - cumlens[s]
+                    out[have, 1 + top_rows[n]] = maxc[have] * chars
+                if n in dup_rows:
+                    dup_start = np.zeros(T, np.int64)
+                    dup_start[vp] = counts[inv] >= 2
+                    if dup_start.any():
+                        S = np.concatenate(
+                            ([0], np.cumsum(dup_start)))
+                        lo = np.maximum(idx - (n - 1),
+                                        doc_start_flat)
+                        hi = np.minimum(idx, doc_end_flat - n)
+                        cov = (hi >= lo) & (S[hi + 1] - S[lo] > 0)
+                        sums = np.bincount(
+                            doc_of, weights=np.where(cov, tok_lens,
+                                                     0),
+                            minlength=B)
+                        out[:, 1 + len(top_ns) + dup_rows[n]] = \
+                            sums.astype(np.int64)
+                nxt = np.full(T, -1, np.int64)
+                nxt[vp] = inv
+                gid = nxt
+        return pd.Series(list(out))
 
     return kern
 
@@ -837,22 +986,21 @@ def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
     Arrow kernel pass (:func:`_gopher_rep_kernel` — pinned equal to
     the pure-Catalyst/first-kernel reference implementations in
     tests); fractions rounded to 6 JVM-side."""
-    toked = docs.select("doc_id", lower_tokens_col().alias("_toks"))
-    toks = F.col("_toks")
-    tot = _tok_chars_col(toks)
-    den = F.greatest(tot, F.lit(1)).cast("double")
     top_ns = tuple(GOPHER_TOP_NGRAM_MAX)
     dup_ns = tuple(GOPHER_DUP_NGRAM_MAX)
     kern = _gopher_rep_kernel(top_ns, dup_ns)
-    toked = toked.withColumn("_rep", kern("_toks"))
+    # the kernel tokenizes Arrow-side and returns the total-token-
+    # chars denominator as element 1 — no JVM tokenize at all
+    toked = docs.select("doc_id", kern("text").alias("_rep"))
+    den = F.greatest(F.element_at("_rep", 1), F.lit(1)).cast("double")
     cols, keeps = [], []
     for idx, (n, mx) in enumerate(GOPHER_TOP_NGRAM_MAX.items()):
         c = F.round(
-            F.element_at("_rep", idx + 1).cast("long") / den, 6)
+            F.element_at("_rep", idx + 2).cast("long") / den, 6)
         name = f"top{n}gram_char_frac"
         cols.append(c.alias(name))
         keeps.append((name, mx))
-    off = len(top_ns)
+    off = len(top_ns) + 1
     for idx, (n, mx) in enumerate(GOPHER_DUP_NGRAM_MAX.items()):
         c = F.round(
             F.element_at("_rep", off + idx + 1).cast("long") / den, 6)

@@ -1118,19 +1118,26 @@ def test_gopher_rep_kernel_equals_references(spark):
     toks = F.col("_toks")
     top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
     kern = textstats._gopher_rep_kernel(top_ns, dup_ns)
-    got = {r["doc_id"]: list(r["rep"]) for r in
-           toked.select("doc_id", kern("_toks").alias("rep"))
+    # element 1 is the total-token-chars denominator; the numerators
+    # follow in declaration order
+    got = {r["doc_id"]: list(r["rep"])[1:] for r in
+           docs.select("doc_id", kern("text").alias("rep"))
            .collect()}
+    got_tot = {r["doc_id"]: list(r["rep"])[0] for r in
+               docs.select("doc_id", kern("text").alias("rep"))
+               .collect()}
 
     ref_cols = [
         _top_gram_chars_col(ngrams_of_tokens(toks, n), n)
         .alias(f"t{n}") for n in top_ns]
     dup_kern = textstats._dup_cov_kernel(dup_ns)
-    ref = toked.select("doc_id", *ref_cols,
-                       dup_kern("_toks").alias("cov")).collect()
+    ref = toked.select(
+        "doc_id", *ref_cols, dup_kern("_toks").alias("cov"),
+        textstats._tok_chars_col(toks).alias("tot")).collect()
     want = {r["doc_id"]: [r[f"t{n}"] for n in top_ns] + list(r["cov"])
             for r in ref}
     assert got == want
+    assert got_tot == {r["doc_id"]: r["tot"] for r in ref}
 
 
 def test_badwords_brute_force_and_plan(spark):
