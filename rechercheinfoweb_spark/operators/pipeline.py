@@ -123,20 +123,83 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     return docs.join(flagged, "doc_id", "left_anti")
 
 
+def _doc_stats_counts_kernel():
+    """pandas UDF: raw TEXT → the integer numerators of the fused
+    lang/quality scan, tokenized with Arrow C kernels (the JVM split
+    expression alone costs 15-20 s on a 50k page-doc corpus — same
+    finding as the Gopher operators):
+
+      [n_tok, n_chars, n_alpha] + [marker-hit count per language in
+       LANG_MARKERS declaration order]
+
+    The vote/ratio/round expressions stay JVM-side in
+    :func:`_doc_stats_select`, so lang_pred and quality are
+    bit-identical to the expression path (pinned by the
+    doc_stats-vs-standalone test and the pp_clean oracle)."""
+    import numpy as np
+
+    from .textstats import SQL_TOKEN_SPLIT
+    marker_sets = {la: list(ws) for la, ws in LANG_MARKERS.items()}
+
+    @F.pandas_udf("array<long>")
+    def kern(texts: pd.Series) -> pd.Series:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        B = len(texts)
+        out = np.zeros((B, 3 + len(marker_sets)), np.int64)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        arr = pa.array(texts.fillna(""), type=pa.string())
+        toks = pc.split_pattern_regex(arr, pattern=SQL_TOKEN_SPLIT)
+        tv = pc.ascii_lower(toks.values)
+        t_doc = np.repeat(np.arange(B),
+                          np.diff(np.asarray(toks.offsets)))
+        nonempty = pc.utf8_length(toks.values).to_numpy() > 0
+        out[:, 0] = np.bincount(t_doc[nonempty], minlength=B)
+        out[:, 1] = pc.utf8_length(arr).to_numpy().astype(np.int64)
+        out[:, 2] = pc.count_substring_regex(
+            arr, "[a-zA-Z]").to_numpy().astype(np.int64)
+        for j, (la, words) in enumerate(marker_sets.items()):
+            m = pc.is_in(tv, value_set=pa.array(words)) \
+                .to_numpy(zero_copy_only=False)
+            out[:, 3 + j] = np.bincount(t_doc[m], minlength=B)
+        return pd.Series(list(out))
+
+    return kern
+
+
+def _doc_stats_select(df: DataFrame, id_cols: tuple) -> DataFrame:
+    """(*id_cols, text, lang_pred, quality) via the counts kernel —
+    shared by :func:`doc_stats` and the streaming ingest gate."""
+    base = df.select(*id_cols, "text",
+                     _doc_stats_counts_kernel()("text").alias("_c"))
+    g = lambda i: F.element_at("_c", i)  # noqa: E731
+    langs = list(LANG_MARKERS)
+    hits = {la: g(4 + j) for j, la in enumerate(langs)}
+    best = F.greatest(*hits.values())
+    lang_pred = F.coalesce(
+        *[F.when((hits[la] == best) & (best > 0), F.lit(la))
+          for la in langs],
+        F.lit("und"))
+    n_tok = g(1)
+    alpha_ratio = F.round(
+        g(3) / F.greatest(g(2), F.lit(1)), 6)
+    stop_ratio = F.round(
+        hits["en"] / F.greatest(n_tok, F.lit(1)), 6)
+    quality = F.round(
+        0.4 * alpha_ratio + 0.4 * stop_ratio
+        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
+    return base.select(*id_cols, "text",
+                       lang_pred.alias("lang_pred"),
+                       quality.alias("quality"))
+
+
 def doc_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, text, lang_pred, quality) — the fused stage-1/2 scan
-    of :func:`clean_corpus`.  Two chained projections: the token
-    array materializes ONCE and both feature trees reference it (the
-    language vote alone holds ~10 references; inlining the tokenizer
-    into each re-tokenizes per reference — interpreted higher-order
-    exprs get no CSE, the same pathology measured 8x on the Gopher
-    gate)."""
-    base = docs.select("doc_id", "text", tokens_col().alias("_toks"))
-    t = F.col("_toks")
-    return base.select(
-        "doc_id", "text",
-        _lang_pred_col(t).alias("lang_pred"),
-        _quality_col(t).alias("quality"))
+    of :func:`clean_corpus`, numerators from ONE Arrow counts
+    kernel (see :func:`_doc_stats_counts_kernel`)."""
+    return _doc_stats_select(docs, ("doc_id",))
 
 
 def clean_corpus(docs: DataFrame, lang: str = "en",

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.pipeline import _lang_pred_col, _quality_col
-from ..operators.textstats import tokens_col
 
 
 def streaming_clean(pages: DataFrame, lang: str = "en",
@@ -85,16 +83,12 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     if gopher_rules:
         from ..operators.textstats import gopher_keep_col
         pages = pages.where(gopher_keep_col())
-    # token array materialized once, shared by both feature trees
-    # (same projection split as pipeline.doc_stats — see its note)
-    base = pages.select("url", "warc_ts", "text",
-                        tokens_col().alias("_toks"))
-    t = F.col("_toks")
-    stats = base.select(
-        "url", "warc_ts", "text",
-        _lang_pred_col(t).alias("lang_pred"),
-        _quality_col(t).alias("quality"),
-        F.md5("text").alias("_h"))
+    # fused lang/quality numerators from the shared Arrow counts
+    # kernel (pipeline._doc_stats_select; streams as-is)
+    from ..operators.pipeline import _doc_stats_select
+    stats = _doc_stats_select(
+        pages, ("url", "warc_ts")).withColumn(
+        "_h", F.md5("text"))
     kept = stats.where((F.col("lang_pred") == lang)
                        & (F.col("quality") >= min_quality))
     if kept.isStreaming:
