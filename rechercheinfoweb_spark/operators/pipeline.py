@@ -169,6 +169,21 @@ def _doc_stats_counts_kernel():
     return kern
 
 
+def _quality_expr_from_counts() -> Column:
+    """The composite quality score over the counts column ``_c`` —
+    the SAME ratio/round expressions as :func:`_quality_col`."""
+    g = lambda i: F.element_at("_c", i)  # noqa: E731
+    n_tok = g(1)
+    en_idx = list(LANG_MARKERS).index("en")
+    alpha_ratio = F.round(
+        g(3) / F.greatest(g(2), F.lit(1)), 6)
+    stop_ratio = F.round(
+        g(4 + en_idx) / F.greatest(n_tok, F.lit(1)), 6)
+    return F.round(
+        0.4 * alpha_ratio + 0.4 * stop_ratio
+        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
+
+
 def _doc_stats_select(df: DataFrame, id_cols: tuple) -> DataFrame:
     """(*id_cols, text, lang_pred, quality) via the counts kernel —
     shared by :func:`doc_stats` and the streaming ingest gate."""
@@ -182,17 +197,9 @@ def _doc_stats_select(df: DataFrame, id_cols: tuple) -> DataFrame:
         *[F.when((hits[la] == best) & (best > 0), F.lit(la))
           for la in langs],
         F.lit("und"))
-    n_tok = g(1)
-    alpha_ratio = F.round(
-        g(3) / F.greatest(g(2), F.lit(1)), 6)
-    stop_ratio = F.round(
-        hits["en"] / F.greatest(n_tok, F.lit(1)), 6)
-    quality = F.round(
-        0.4 * alpha_ratio + 0.4 * stop_ratio
-        + 0.2 * F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6)
     return base.select(*id_cols, "text",
                        lang_pred.alias("lang_pred"),
-                       quality.alias("quality"))
+                       _quality_expr_from_counts().alias("quality"))
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
@@ -336,8 +343,10 @@ def quality_quantile_filter(docs: DataFrame, keep_frac: float,
     ``percentile_approx(quality, 1-keep_frac)`` broadcast cut —
     same gate, sketch-sized state — documented, not default, so the
     oracle pins the exact semantics."""
-    toks = tokens_col()
-    scored = docs.withColumn("quality", _quality_col(toks))
+    scored = (docs.select("*", _doc_stats_counts_kernel()("text")
+                          .alias("_c"))
+              .withColumn("quality", _quality_expr_from_counts())
+              .drop("_c"))
     w = Window.partitionBy(by).orderBy(
         F.col("quality").desc(), F.col("doc_id"))
     n = Window.partitionBy(by)
