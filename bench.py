@@ -548,6 +548,19 @@ def main() -> None:
         _t = F.replace(_t, F.lit(" slow "), F.lit(" javascript "))
         extra["c4_survivors"] = pipeline.c4_clean(
             docs.select("doc_id", _t.alias("text"))).count()
+    # URL curation (RefinedWeb stage 0) + C4 bad-words rule over the
+    # main corpus — both map-side literal-list gates; the URL gate
+    # reads ONLY the url column (no page body touched)
+    with timed("url_filter_corpus"):
+        corpus_pages = spark.read.parquet(corpus_dir)
+        extra["url_filter_kept"] = pipeline.url_filter(
+            corpus_pages,
+            blocked_domains=[f"host{i}.example" for i in range(10)],
+            banned_url_words=["000000"]).count()
+    with timed("badwords_corpus"):
+        extra["badwords_kept"] = pipeline.badwords_filter(
+            corpus_pages.select("url", "text"),
+            ["blockmax", "thetacut"]).count()
     # Gopher A1 quality gate over the MAIN bench corpus (map-side,
     # zero shuffles): the enriched hosts carry the required
     # stopwords, so both the keep AND reject paths are measured
