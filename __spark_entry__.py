@@ -1941,67 +1941,19 @@ def _sql_lg_pagerank(n_iter: int = _PR_ITER,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the correctness driver checks only the FIRST 50
-    # entries of this dict.  Rounds 1-3 left 26 entries (everything from
-    # ts_gopher_rep down in the old order) outside that window, so they
-    # never got a driver-recorded oracle row even though check_contract.py
-    # verified them green by hand.  Round 4 rotates those 26 to the front,
-    # then fills the rest of the window with a representative core of the
-    # r03-green ft_*/ts_*/dd_*/pp_* rows; the remaining 26 (all with green
-    # CORRECTNESS_r03 rows on record) sit past position 50.
+    # entries of this dict.  Standing rotation policy (since r4): no
+    # entry's driver row goes more than one round stale.  Round 5 rotates
+    # the 29 entries that sat past the window in round 4 (all green in
+    # CORRECTNESS_r03 + verified on HEAD by scripts/check_contract.py) to
+    # the front, follows them with every query whose implementation
+    # changed in round 5 (NEAR kernel vectorization -> ft_near/ft_phrase;
+    # doc_stats null-text propagation -> pp_clean; the
+    # gopher_repetition_stats shared-fraction refactor -> ts_gopher_rep;
+    # the WARC epoch-shipping sink -> src_warc_roundtrip), and fills the
+    # rest of the window with the core ft_*/ts_*/dd_* rows; everything
+    # past position 50 has a green CORRECTNESS_r04 row on record.
     return {
-        # --- the 26 entries never seen by the driver before round 4 ---
-        "ts_gopher_rep": _q_gopher_rep,
-        "ts_bpe_counts": _q_bpe_counts,
-        "pp_pack_shards": _q_pack_shards,
-        "ft_phrase": _q_phrase,
-        "ft_heaps_curve": _q_heaps_curve,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_index_topk": _q_ann_index,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_pq_topk": _q_ann_pq,
-        "ann_ivfpq_topk": _q_ann_ivfpq,
-        "dd_embed_near_pairs": _q_embed_near_pairs,
-        "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
-        "dd_semantic_pairs": _q_semantic_pairs,
-        "ev_hourly": _q_events_hourly,
-        "ev_sessionize": _q_sessionize,
-        "ev_pr_curve": _q_pr_curve,
-        "ev_value_percentiles": _q_value_percentiles,
-        "lg_degrees": _q_lg_degrees,
-        "lg_pagerank": _q_lg_pagerank,
-        "ix_spell_suggest": _q_spell_suggest,
-        "ix_complete_prefix": _q_complete_prefix,
-        "ix_engine_bm25_topk": _q_engine_bm25,
-        "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
-        "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
-        "ix_engine_bm25_purged": _q_engine_bm25_purged,
-        # --- representative core of the r03-green rows (slots 27-50) ---
-        "ft_term_doc_tf": _q_term_doc_tf,
-        "ft_df_idf": _q_df_idf,
-        "ft_bool_and": _q_bool_and,
-        "ft_bool_or": _q_bool_or,
-        "ft_bool_and_not": _q_bool_and_not,
-        "ft_tfidf_topk": _q_tfidf_topk,
-        "ft_bm25_topk": _q_bm25_topk,
-        "ft_corpus_stats": _q_corpus_stats,
-        "ft_doc_ids": _q_doc_ids,
-        "ts_lang_id": _q_lang_id,
-        "ts_quality": _q_quality,
-        "ts_nfc": _q_nfc,
-        "ts_gopher": _q_gopher,
-        "dd_exact": _q_dedup_exact,
-        "dd_minhash_sigs": _q_minhash_sigs,
-        "dd_lsh_pairs": _q_lsh_pairs,
-        "dd_jaccard_pairs": _q_jaccard_pairs,
-        "ft_near": _q_near,            # new in r4 — needs a driver row
-        "dd_clusters": _q_clusters,
-        "pp_clean": _q_pipeline_clean,
-        "pp_decontaminate": _q_decontaminate,
-        "pp_badwords": _q_badwords,    # new in r4 — needs a driver row
-        "pp_url_filter": _q_url_filter,  # new in r4 — needs a driver row
-        "src_warc_roundtrip": _q_warc_roundtrip,
-        # --- past the driver window; all have green CORRECTNESS_r03 rows ---
+        # --- the 29 entries outside round 4's driver window ---
         "pp_mix": _q_mix,
         "dd_incremental_pairs": _q_incremental_pairs,
         "dd_simhash_pairs": _q_simhash_pairs,
@@ -2031,6 +1983,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_lm_buckets": _q_lm_buckets,
         "pp_lm_buckets_lang": _q_lm_buckets_lang,
         "pp_c4_clean": _q_c4_clean,
+        # --- code changed in round 5: fresh driver row required ---
+        "ft_near": _q_near,
+        "ft_phrase": _q_phrase,
+        "pp_clean": _q_pipeline_clean,
+        "ts_gopher_rep": _q_gopher_rep,
+        "src_warc_roundtrip": _q_warc_roundtrip,
+        # --- representative core (slots 35-50) ---
+        "ft_term_doc_tf": _q_term_doc_tf,
+        "ft_df_idf": _q_df_idf,
+        "ft_bool_and": _q_bool_and,
+        "ft_bool_or": _q_bool_or,
+        "ft_bool_and_not": _q_bool_and_not,
+        "ft_tfidf_topk": _q_tfidf_topk,
+        "ft_bm25_topk": _q_bm25_topk,
+        "ft_corpus_stats": _q_corpus_stats,
+        "ft_doc_ids": _q_doc_ids,
+        "ts_lang_id": _q_lang_id,
+        "ts_quality": _q_quality,
+        "ts_gopher": _q_gopher,
+        "dd_exact": _q_dedup_exact,
+        "dd_minhash_sigs": _q_minhash_sigs,
+        "dd_lsh_pairs": _q_lsh_pairs,
+        "dd_clusters": _q_clusters,
+        # --- past the driver window; all have green CORRECTNESS_r04 rows ---
+        "ts_nfc": _q_nfc,
+        "ts_bpe_counts": _q_bpe_counts,
+        "pp_pack_shards": _q_pack_shards,
+        "pp_decontaminate": _q_decontaminate,
+        "pp_badwords": _q_badwords,
+        "pp_url_filter": _q_url_filter,
+        "dd_jaccard_pairs": _q_jaccard_pairs,
+        "ft_heaps_curve": _q_heaps_curve,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_index_topk": _q_ann_index,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
+        "dd_embed_near_pairs": _q_embed_near_pairs,
+        "dd_embed_near_pairs_lsh": _q_embed_near_pairs_lsh,
+        "dd_semantic_pairs": _q_semantic_pairs,
+        "ev_hourly": _q_events_hourly,
+        "ev_sessionize": _q_sessionize,
+        "ev_pr_curve": _q_pr_curve,
+        "ev_value_percentiles": _q_value_percentiles,
+        "lg_degrees": _q_lg_degrees,
+        "lg_pagerank": _q_lg_pagerank,
+        "ix_spell_suggest": _q_spell_suggest,
+        "ix_complete_prefix": _q_complete_prefix,
+        "ix_engine_bm25_topk": _q_engine_bm25,
+        "ix_engine_bm25_nostem": _q_engine_bm25_nostem,
+        "ix_engine_bm25_deleted": _q_engine_bm25_deleted,
+        "ix_engine_bm25_purged": _q_engine_bm25_purged,
     }
 
 

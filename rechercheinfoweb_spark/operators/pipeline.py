@@ -150,6 +150,10 @@ def _doc_stats_counts_kernel():
         out = np.zeros((B, 3 + len(marker_sets)), np.int64)
         if B == 0:
             return pd.Series([], dtype=object)
+        # NULL text -> NULL counts (expression-path semantics: the
+        # row then gets NULL lang_pred/quality and fails every gate
+        # comparison, rather than masquerading as an empty doc)
+        null_mask = texts.isna().to_numpy()
         arr = pa.array(texts.fillna(""), type=pa.string())
         toks = pc.split_pattern_regex(arr, pattern=SQL_TOKEN_SPLIT)
         tv = pc.ascii_lower(toks.values)
@@ -164,7 +168,8 @@ def _doc_stats_counts_kernel():
             m = pc.is_in(tv, value_set=pa.array(words)) \
                 .to_numpy(zero_copy_only=False)
             out[:, 3 + j] = np.bincount(t_doc[m], minlength=B)
-        return pd.Series(list(out))
+        return pd.Series([None if null_mask[i] else out[i]
+                          for i in range(B)], dtype=object)
 
     return kern
 
@@ -193,10 +198,12 @@ def _doc_stats_select(df: DataFrame, id_cols: tuple) -> DataFrame:
     langs = list(LANG_MARKERS)
     hits = {la: g(4 + j) for j, la in enumerate(langs)}
     best = F.greatest(*hits.values())
-    lang_pred = F.coalesce(
+    lang_pred = F.when(
+        F.col("_c").isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(
         *[F.when((hits[la] == best) & (best > 0), F.lit(la))
           for la in langs],
-        F.lit("und"))
+        F.lit("und")))
     return base.select(*id_cols, "text",
                        lang_pred.alias("lang_pred"),
                        _quality_expr_from_counts().alias("quality"))

@@ -383,39 +383,54 @@ def _near_kernel(terms: list[str], max_span: int,
             return empty
         idx = {t: np.searchsorted(decoded[t][0], common)
                for t in order}
-        out_ids, out_span = [], []
-        for j, doc in enumerate(common):
-            pos_parts, lab_parts = [], []
-            for ti, t in enumerate(order):
-                _ids, _cnt, pos, off = decoded[t]
-                i = int(idx[t][j])
-                p = pos[off[i]:off[i + 1]]
-                pos_parts.append(p)
-                lab_parts.append(np.full(p.size, ti, np.int64))
-            p = np.concatenate(pos_parts)
-            lab = np.concatenate(lab_parts)
-            o = np.argsort(p, kind="stable")
-            p, lab = p[o], lab[o]
-            cnt = np.zeros(need, np.int64)
-            have, left, best = 0, 0, None
-            for right in range(p.size):
-                cnt[lab[right]] += 1
-                if cnt[lab[right]] == 1:
-                    have += 1
-                while have == need:
-                    span = int(p[right] - p[left])
-                    if best is None or span < best:
-                        best = span
-                    cnt[lab[left]] -= 1
-                    if cnt[lab[left]] == 0:
-                        have -= 1
-                    left += 1
-            if best is not None and best <= max_span:
-                out_ids.append(int(doc))
-                out_span.append(best)
+        ncommon = common.size
+        # ragged gather: every candidate doc's positions for every
+        # term, labelled, into flat arrays — no per-doc Python
+        P_parts, lab_parts, doc_parts = [], [], []
+        for ti, t in enumerate(order):
+            _ids, _cnt, pos, off = decoded[t]
+            di = idx[t]
+            starts = off[di].astype(np.int64)
+            lens = (off[di + 1] - off[di]).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                return empty
+            csum = np.cumsum(lens)
+            flat = (np.arange(total, dtype=np.int64)
+                    - np.repeat(csum - lens, lens)
+                    + np.repeat(starts, lens))
+            P_parts.append(pos[flat].astype(np.int64))
+            lab_parts.append(np.full(total, ti, np.int64))
+            doc_parts.append(
+                np.repeat(np.arange(ncommon, dtype=np.int64), lens))
+        P = np.concatenate(P_parts)
+        lab = np.concatenate(lab_parts)
+        dof = np.concatenate(doc_parts)
+        o = np.lexsort((P, dof))
+        P, lab, dof = P[o], lab[o], dof[o]
+        M = P.size
+        ar = np.arange(M, dtype=np.int64)
+        new_doc = np.empty(M, bool)
+        new_doc[0] = True
+        new_doc[1:] = dof[1:] != dof[:-1]
+        seg_first = np.maximum.accumulate(np.where(new_doc, ar, 0))
+        # the minimal window ending at row r starts at the smallest
+        # of each label's LAST occurrence <= r; if that minimum
+        # falls before the doc's segment, some label is unseen and
+        # no window ends at r
+        lefts = np.full(M, np.iinfo(np.int64).max, np.int64)
+        for ti in range(need):
+            seen = np.maximum.accumulate(np.where(lab == ti, ar, -1))
+            lefts = np.minimum(lefts, seen)
+        valid = lefts >= seg_first
+        sentinel = np.iinfo(np.int64).max
+        spans = np.where(valid, P - P[np.where(valid, lefts, 0)],
+                         sentinel)
+        best = np.minimum.reduceat(spans, ar[new_doc])
+        hit = best <= max_span
         return pd.DataFrame(
-            {"doc_id": np.asarray(out_ids, np.int64),
-             "min_span": np.asarray(out_span, np.int64)})
+            {"doc_id": common[hit].astype(np.int64),
+             "min_span": best[hit].astype(np.int64)})
 
     return fn
 

