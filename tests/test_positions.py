@@ -190,3 +190,33 @@ def test_near_matches_brute_force(spark, sidecars, mode):
             if s is not None:
                 exp[did] = s
         assert got == exp, f"{mode}: NEAR/{k} {query!r}"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_near_random_corpus_matches_brute(spark, tmp_path_factory,
+                                          seed):
+    """Seeded random corpora stress the vectorized NEAR kernel's
+    multi-doc segment logic (ragged gather, per-doc segment resets,
+    reduceat minima) — many docs per (bucket, salt) kernel call,
+    including zero-token and single-term docs."""
+    import random
+
+    from rechercheinfoweb_spark.operators.positions import near_search
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp(f"pos_rand{seed}"))
+    build_positions(spark, df, d, n_buckets=4, n_salts=3,
+                    tokenizer="sql")
+    for query, k in [("alpha beta", 3), ("gamma delta epsilon", 12),
+                     ("alpha beta gamma delta", 25), ("zeta", 0)]:
+        got = {r["doc_id"]: r["min_span"] for r in
+               near_search(spark, d, query, k).collect()}
+        exp = {}
+        for did, text in docs:
+            s = brute_near(text, query, "sql", k)
+            if s is not None:
+                exp[did] = s
+        assert got == exp, (seed, query, k)
