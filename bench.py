@@ -757,18 +757,43 @@ def main() -> None:
                             use_pruning=True).collect()
         docs_sf1 = pages_sf1.select(
             F.xxhash64("url").alias("doc_id"), "text")
-        with sf1_timed(sf1_t, "lsh_pairs"):
-            sf1["lsh_pairs_500k"] = dedup.minhash_lsh_pairs(
-                docs_sf1, max_bucket=100).count()
-        with sf1_timed(sf1_t, "pipeline_clean"):
-            sf1["pipeline_survivors_500k"] = pipeline.clean_corpus(
-                docs_sf1, lang="en", min_quality=0.42).count()
-        with sf1_timed(sf1_t, "gopher_filter"):
+        # remaining legs run CHEAP-FIRST under a section time budget:
+        # if the host is in a slow phase, skip the expensive tail
+        # (and say so — no silent truncation) rather than risk the
+        # whole bench run against any driver-side timeout.  Budget
+        # covers the ~460 s a healthy host needs with ~2x headroom.
+        sf1_budget = float(os.environ.get(
+            "SPARK_GRAFT_SF1_BUDGET", "900"))
+        sf1_started = time.time()
+        sf1_started -= sum(sf1_t.values())  # legs already run
+
+        def sf1_leg(name, fn):
+            if time.time() - sf1_started > sf1_budget:
+                sf1.setdefault("skipped_over_budget", []).append(name)
+                return
+            with sf1_timed(sf1_t, name):
+                fn()
+
+        def _leg_gopher():
             sf1["gopher_survivors_500k"] = _ts.gopher_filter(
                 docs_sf1).count()
-        with sf1_timed(sf1_t, "gopher_repetition"):
+
+        def _leg_gopher_rep():
             sf1["gopher_rep_survivors_500k"] = \
                 _ts.gopher_repetition_filter(docs_sf1).count()
+
+        def _leg_clean():
+            sf1["pipeline_survivors_500k"] = pipeline.clean_corpus(
+                docs_sf1, lang="en", min_quality=0.42).count()
+
+        def _leg_lsh():
+            sf1["lsh_pairs_500k"] = dedup.minhash_lsh_pairs(
+                docs_sf1, max_bucket=100).count()
+
+        sf1_leg("gopher_filter", _leg_gopher)
+        sf1_leg("gopher_repetition", _leg_gopher_rep)
+        sf1_leg("pipeline_clean", _leg_clean)
+        sf1_leg("lsh_pairs", _leg_lsh)
         shutil.rmtree(corpus_sf1_dir, ignore_errors=True)
         shutil.rmtree(out_sf1, ignore_errors=True)
         scaleup = {k: round(sf1_t[k] / base_t[k], 2)
