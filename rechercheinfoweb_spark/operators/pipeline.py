@@ -337,23 +337,39 @@ def sample_to_mix(docs: DataFrame, mix: dict[str, float],
 
 
 def quality_quantile_filter(docs: DataFrame, keep_frac: float,
-                            by: str = "source") -> DataFrame:
+                            by: str = "source",
+                            approximate: bool = False) -> DataFrame:
     """Keep each stratum's top ``keep_frac`` docs by quality score
     (quantile gating: an absolute quality threshold keeps different
     volumes from every source; a per-stratum quantile keeps the mix).
 
-    Rank-based, tie-broken on doc_id, so the kept set is exactly
-    ``ceil(n_stratum * keep_frac)`` rows and deterministic — a
-    percentile-value cut would keep a nondeterministic superset on
-    score ties.  One shuffle (window partition by stratum).  At
-    100 TB swap the exact window for a per-stratum
-    ``percentile_approx(quality, 1-keep_frac)`` broadcast cut —
-    same gate, sketch-sized state — documented, not default, so the
-    oracle pins the exact semantics."""
+    Default (exact): rank-based, tie-broken on doc_id, so the kept
+    set is exactly ``ceil(n_stratum * keep_frac)`` rows and
+    deterministic — the oracle pins these semantics.  One shuffle
+    (window partition by stratum), but the window SORTS every
+    stratum — the wrong shape at 10^12 docs.
+
+    ``approximate=True`` is the 100 TB shape: one
+    ``percentile_approx(quality, 1-keep_frac)`` partial-agg per
+    stratum (sketch-sized state, rows never sorted), thresholds
+    broadcast back, then a map-side ``quality >= cut`` gate.  Keeps
+    a slight superset of the exact gate (every doc the exact gate
+    keeps whose quality is strictly above the cut is kept here too;
+    score ties AT the cut all pass, and the sketch bounds the cut's
+    rank error) — the standard trade for per-stratum state that no
+    longer grows with stratum size."""
     scored = (docs.select("*", _doc_stats_counts_kernel()("text")
                           .alias("_c"))
               .withColumn("quality", _quality_expr_from_counts())
               .drop("_c"))
+    if approximate:
+        cuts = scored.groupBy(by).agg(
+            F.percentile_approx(
+                "quality", F.lit(1.0 - keep_frac)).alias("_cut"))
+        return (scored
+                .join(F.broadcast(cuts), by)
+                .where(F.col("quality") >= F.col("_cut"))
+                .drop("_cut"))
     w = Window.partitionBy(by).orderBy(
         F.col("quality").desc(), F.col("doc_id"))
     n = Window.partitionBy(by)

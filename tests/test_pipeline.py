@@ -1254,3 +1254,52 @@ def test_url_filter_brute_force_and_plan(spark):
     assert "Exchange" not in plan
     # empty lists: everything keeps
     assert pipeline.url_filter(pages).count() == len(rows)
+
+
+def test_quality_quantile_filter_approximate(spark):
+    """The approximate=True path (the 100 TB shape: per-stratum
+    percentile_approx cut broadcast back, map-side gate, no window
+    sort) keeps a TOP SEGMENT by quality in every stratum: no
+    dropped doc outscores a kept one, every doc strictly above the
+    cut that the exact gate keeps is kept here too, ties at the cut
+    all pass, and null-text docs never pass."""
+    rows = []
+    for i in range(1, 21):
+        # two strata, quality increases with word count
+        rows.append((i, "web" if i % 2 else "books",
+                     "the of and is a " + "word " * i))
+    rows.append((99, "web", None))  # null text
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    exact = pipeline.quality_quantile_filter(
+        docs, keep_frac=0.4)
+    approx = pipeline.quality_quantile_filter(
+        docs, keep_frac=0.4, approximate=True)
+    ex = {(r["source"], r["doc_id"]): r["quality"]
+          for r in exact.collect()}
+    ap = {(r["source"], r["doc_id"]): r["quality"]
+          for r in approx.collect()}
+    assert all(k[1] != 99 for k in ap)            # null never kept
+    for src in ("web", "books"):
+        kept_q = [q for (s, _), q in ap.items() if s == src]
+        dropped_q = [r["quality"] for r in
+                     pipeline.doc_stats(docs).join(
+                         docs.select("doc_id", "source"), "doc_id")
+                     .collect()
+                     if r["source"] == src and r["quality"] is not None
+                     and (src, r["doc_id"]) not in ap]
+        if kept_q and dropped_q:                  # top segment
+            assert min(kept_q) >= max(dropped_q)
+    # exact keeps strictly-above-cut docs that approx must also keep
+    for src in ("web", "books"):
+        cut = min(q for (s, _), q in ap.items() if s == src)
+        for (s, d), q in ex.items():
+            if s == src and q > cut:
+                assert (s, d) in ap, (s, d, q, cut)
+    # tie case: identical text -> identical quality -> ALL pass
+    tied = spark.createDataFrame(
+        [(i, "web", "same words here the of and") for i in range(8)],
+        "doc_id long, source string, text string")
+    kept = pipeline.quality_quantile_filter(
+        tied, keep_frac=0.25, approximate=True)
+    assert kept.count() == 8
