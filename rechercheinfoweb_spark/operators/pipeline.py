@@ -1026,7 +1026,8 @@ def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
                           cuts: tuple = (1.0 / 3, 2.0 / 3),
                           min_count: int = 1,
                           alpha: float = LM_ALPHA,
-                          by: str | None = None) -> DataFrame:
+                          by: str | None = None,
+                          approximate: bool = False) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): every
     doc keeps its LM score and gains a ``bucket`` label — ``head``
     for the most target-like third (lowest lm_score), then
@@ -1046,9 +1047,13 @@ def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
 
     Scale shape: the score relation is computed ONCE (persisted);
     the two cutoffs are one exact-percentile aggregate (state
-    O(distinct scores) on one reducer — swap to
-    ``percentile_approx`` at 100 TB, same convention as
-    quality_quantile_filter); bucketing is a map-side CASE.
+    O(distinct scores) on one reducer); bucketing is a map-side
+    CASE.  ``approximate=True`` is the 100 TB shape (same
+    convention as quality_quantile_filter): the cutoffs come from
+    ``percentile_approx`` — sketch-sized reducer state — and every
+    cutoff the sketch returns is a REAL score value, so the CASE
+    comparisons stay engine-stable; bucket boundaries can shift by
+    the sketch's rank error, bucket labels stay value-based.
     Returns (doc_id, n_tok, lm_score, bucket).
 
     ``by``: CCNet proper buckets PER LANGUAGE (each language gets
@@ -1060,7 +1065,8 @@ def lm_perplexity_buckets(docs: DataFrame, target: DataFrame,
     lo, hi = float(cuts[0]), float(cuts[1])
     uni, bi, ctx, meta = train_backoff_lm(target, min_count)
     scores = lm_doc_scores(docs, uni, bi, ctx, meta, alpha)
-    pct = F.percentile("lm_score", F.array(F.lit(lo), F.lit(hi)))
+    pct_fn = F.percentile_approx if approximate else F.percentile
+    pct = pct_fn("lm_score", F.array(F.lit(lo), F.lit(hi)))
     bucket = (F.when(F.col("lm_score") <= F.col("_c1"), F.lit("head"))
               .when(F.col("lm_score") <= F.col("_c2"),
                     F.lit("middle"))

@@ -1303,3 +1303,43 @@ def test_quality_quantile_filter_approximate(spark):
     kept = pipeline.quality_quantile_filter(
         tied, keep_frac=0.25, approximate=True)
     assert kept.count() == 8
+
+
+def test_lm_buckets_approximate(spark):
+    """approximate=True (the 100 TB shape: percentile_approx
+    cutoffs, sketch-sized reducer state) keeps the value-based
+    bucket contract: every doc labeled, buckets ordered by score
+    (max head score <= min middle <= min tail), cutoffs are REAL
+    score values so head is non-empty, and the per-language variant
+    still cuts each stratum independently."""
+    docs = spark.createDataFrame(LM_ROWS, "doc_id long, text string")
+    target = docs.where("doc_id in (1, 2)")
+    got = {r["doc_id"]: (r["lm_score"], r["bucket"])
+           for r in pipeline.lm_perplexity_buckets(
+               docs, target, approximate=True).collect()}
+    assert len(got) == len(LM_ROWS)
+    by_bucket = {b: [s for s, bb in got.values() if bb == b]
+                 for b in ("head", "middle", "tail")}
+    assert by_bucket["head"]
+    if by_bucket["middle"]:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if by_bucket["tail"]:
+        prev = (by_bucket["middle"] or by_bucket["head"])
+        assert max(prev) <= min(by_bucket["tail"])
+    # target docs stay most-target-like
+    assert got[1][1] == "head" and got[2][1] == "head"
+    rows = [(d, t, "en" if d <= 4 else "de") for d, t in LM_ROWS]
+    docs2 = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    got2 = {r["doc_id"]: (r["lang"], r["lm_score"], r["bucket"])
+            for r in pipeline.lm_perplexity_buckets(
+                docs2, target, by="lang", approximate=True).collect()}
+    assert len(got2) == len(LM_ROWS)
+    for lang in ("en", "de"):
+        hb = [s for la, s, b in got2.values()
+              if la == lang and b == "head"]
+        rest = [s for la, s, b in got2.values()
+                if la == lang and b != "head"]
+        assert hb                                  # per-stratum head
+        if rest:
+            assert max(hb) <= min(rest)
